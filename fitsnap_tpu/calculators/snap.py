@@ -1,0 +1,274 @@
+"""Batched SNAP linear-system builder.
+
+Replaces the reference's hot loop (one fresh LAMMPS instance per config,
+`fitsnap3lib/fitsnap.py:171` -> `calculators/lammps_base.py:52`) with bucketed,
+jitted, vmapped kernel calls: neighbor lists are built host-side (cheap,
+irregular), configs are padded to (A, K) shapes and grouped into coarse shape
+buckets to bound XLA recompiles, and each bucket is processed by one compiled
+function producing energy/force/virial rows plus reference-potential
+subtractions.
+
+Derivatives use the factorized scheme in
+`fitsnap_tpu.ops.snap.descriptors_with_jacobian` (3 forward tangents + small
+per-atom jacobian + batched contraction) rather than wide reverse-mode.
+
+Row semantics match `calculators/lammps_snap.py:391-556` (validated against
+the committed `20May21_Standard/Descriptors.npy` oracle to ~1e-13):
+  energy row  = sum_i onehot(type_i) (x) desc_i / natoms   (x blank2J)
+  force rows  = -d(sum_i desc_i)/dx_(n,c)                  (x blank2J)
+  virial rows = -sum_pairs D_a dDesc/dD_b * 1.6021765e6 / vol
+  b           = truth - reference potential value
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitsnap_tpu.ops.neighbors import host_neighbors
+from fitsnap_tpu.utils.jaxsetup import setup_cache
+from fitsnap_tpu.ops.refpot import parse_reference, reference_eav
+from fitsnap_tpu.ops.snap import descriptors_with_jacobian, make_params
+
+TOBAR = 1.6021765e6
+
+_A_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
+_K_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def _pad_to(x, buckets):
+    for b in buckets:
+        if x <= b:
+            return b
+    return ((int(x) + 127) // 128) * 128
+
+
+@dataclass
+class PackedConfig:
+    pos: np.ndarray
+    cell: np.ndarray
+    types: np.ndarray       # 0-based ints
+    natoms: int
+    data: dict
+    disp: np.ndarray = None
+    jidx: np.ndarray = None
+    mask: np.ndarray = None
+    kcount: int = 0
+
+
+class SnapCalculator:
+    """Builds the weighted linear system from scraped config dicts."""
+
+    def __init__(self, name, config):
+        self.config = config
+        self.name = name
+        sec = config.sections["BISPECTRUM"]
+        self.sec = sec
+        self.params = make_params(sec)
+        self.numtypes = sec.numtypes
+        radelem = np.array([float(x) for x in sec.radelem])
+        self.snap_cutoff = float(2.0 * radelem.max() * sec.rcutfac)
+        self.refspec = parse_reference(config.sections["REFERENCE"], sec.numtypes)
+        self.cutoff = max(self.snap_cutoff, self.refspec.max_cutoff)
+        self.type_mapping = sec.type_mapping
+        self._jit_cache = {}
+        setup_cache()
+
+    def get_width(self):
+        sec = self.sec
+        if self.config.sections["CALCULATOR"].nonlinear:
+            return sec.ncoeff
+        w = sec.ncoeff * sec.numtypes
+        if not sec.bzeroflag:
+            w += sec.numtypes
+        return w
+
+    # ---------------- packing ----------------
+
+    def _pack(self, data: dict) -> PackedConfig:
+        types = np.array(
+            [self.type_mapping[t] - 1 for t in data["AtomTypes"]], np.int32)
+        return PackedConfig(
+            pos=np.asarray(data["Positions"], np.float64),
+            cell=np.asarray(data["Lattice"], np.float64),
+            types=types,
+            natoms=int(data["NumAtoms"]),
+            data=data,
+        )
+
+    # ---------------- device function ----------------
+
+    def _rows_fn(self, a_pad, k_pad, dtype):
+        key = (a_pad, k_pad, dtype)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        params = self.params
+        refspec = self.refspec
+        numtypes = self.numtypes
+
+        def one_config(disp, jidx, mask, types, natoms, cell):
+            A = disp.shape[0]
+            dtp = disp.dtype
+            radelem = jnp.asarray(params.radelem, dtp)
+            rcutij = (radelem[types][:, None] + radelem[types[jidx]]) \
+                * params.rcutfac
+            r2 = jnp.sum(disp * disp, -1)
+            smask = mask & (r2 < rcutij * rcutij)
+            jelem = types[jidx]
+            real = (jnp.arange(A) < natoms).astype(dtp)
+
+            B, G = descriptors_with_jacobian(disp, jelem, smask, types, params)
+            B = B * real[:, None]
+            G = G * real[:, None, None, None]          # (A, W0, K, 3)
+
+            oh = jax.nn.one_hot(types, numtypes, dtype=dtp) * real[:, None]
+            e_cols = (oh.T @ B).reshape(-1)            # (numtypes * next,)
+
+            # type-blocked per-pair gradients, then neighbor-scatter via
+            # one-hot matmul (XLA scatter is slow; a dense dot is MXU-shaped)
+            GT = jnp.einsum("at,awkc->takwc", oh, G)   # (T, A, K, W0, 3)
+            W = numtypes * G.shape[1]
+            oj = jax.nn.one_hot(jidx, A, dtype=dtp)    # (A, K, A)
+            scat = jnp.einsum("ikn,tikwc->ntwc", oj, GT).reshape(A, W, 3)
+            rowsum = GT.sum(axis=2).transpose(1, 0, 2, 3).reshape(A, W, 3)
+            force_rows = -(scat - rowsum).transpose(0, 2, 1)   # (A, 3, W)
+
+            vol = cell[0, 0] * cell[1, 1] * cell[2, 2]
+            pa = jnp.array([0, 1, 2, 1, 0, 0])
+            pb = jnp.array([0, 1, 2, 2, 2, 1])
+            dm = disp * smask[..., None].astype(dtp)
+            vir = -jnp.einsum("ikx,tikwy->xytw", dm, GT).reshape(3, 3, W)
+            virial_rows = vir[pa, pb] * (TOBAR / vol)          # (6, W)
+
+            re, rf, rv = reference_eav(disp, jidx, mask, types, natoms, refspec)
+            return {"e_cols": e_cols, "force_rows": force_rows,
+                    "virial_rows": virial_rows,
+                    "ref_e": re, "ref_f": rf, "ref_v": rv * (TOBAR / vol)}
+
+        fn = jax.jit(jax.vmap(one_config))
+        self._jit_cache[key] = fn
+        return fn
+
+    # ---------------- assembly ----------------
+
+    def process_configs(self, data: list, dtype=np.float64):
+        """Compute the full linear system.
+
+        Returns (a, b, w, fs_dict) where fs_dict carries the per-row
+        bookkeeping lists the reference keeps in `pt.fitsnap_dict`.
+        """
+        calc = self.config.sections["CALCULATOR"]
+        sec = self.sec
+        packed = [self._pack(d) for d in data]
+        buckets = {}
+        for idx, pc in enumerate(packed):
+            disp, jidx, mask, kmax = host_neighbors(
+                pc.pos, pc.cell, pc.natoms, self.cutoff)
+            pc.disp, pc.jidx, pc.mask, pc.kcount = disp, jidx, mask, kmax
+            key = (_pad_to(pc.natoms, _A_BUCKETS), _pad_to(kmax, _K_BUCKETS))
+            buckets.setdefault(key, []).append(idx)
+
+        results = [None] * len(packed)
+        for (a_pad, k_pad), idxs in buckets.items():
+            fn = self._rows_fn(a_pad, k_pad, jnp.dtype(dtype))
+            # fixed chunk size per bucket shape: the tail chunk is padded with
+            # empty configs so each bucket compiles exactly once
+            chunk = int(min(32, max(1, 1024 // a_pad), len(idxs)))
+            for c0 in range(0, len(idxs), chunk):
+                ids = idxs[c0:c0 + chunk]
+                n = len(ids)
+                disp = np.zeros((chunk, a_pad, k_pad, 3), dtype)
+                jidx = np.zeros((chunk, a_pad, k_pad), np.int32)
+                mask = np.zeros((chunk, a_pad, k_pad), bool)
+                cell = np.eye(3, dtype=dtype)[None].repeat(chunk, 0)
+                types = np.zeros((chunk, a_pad), np.int32)
+                nat = np.zeros((chunk,), np.int32)
+                for j, i in enumerate(ids):
+                    pc = packed[i]
+                    na, kc = pc.natoms, pc.kcount
+                    disp[j, :na, :kc] = pc.disp[:, :kc]
+                    jidx[j, :na, :kc] = pc.jidx[:, :kc]
+                    mask[j, :na, :kc] = pc.mask[:, :kc]
+                    cell[j] = pc.cell
+                    types[j, :na] = pc.types
+                    nat[j] = na
+                out = jax.tree.map(np.asarray,
+                                   fn(disp, jidx, mask, types, nat, cell))
+                for j, i in enumerate(ids):
+                    results[i] = {k: v[j] for k, v in out.items()}
+
+        return self._assemble(packed, results, dtype)
+
+    def _assemble(self, packed, results, dtype):
+        calc = self.config.sections["CALCULATOR"]
+        sec = self.sec
+        width = self.get_width()
+        blank2j = np.asarray(sec.blank2J, dtype)
+        total = 0
+        for pc in packed:
+            total += ((1 if calc.energy else 0)
+                      + (3 * pc.natoms if calc.force else 0)
+                      + (6 if calc.stress else 0))
+        a = np.zeros((total, width), dtype)
+        b = np.zeros((total,), dtype)
+        w = np.zeros((total,), dtype)
+        fs = {"Groups": [], "Configs": [], "Row_Type": [], "Atom_I": [],
+              "Atom_Type": [], "Testing": []}
+
+        def expand(block, counts_frac=None):
+            """(..., raw_width) -> (..., width): insert per-type leading
+            column when bzeroflag=0, apply blank2J (`lammps_snap.py:455`)."""
+            if sec.bzeroflag:
+                return block * blank2j
+            shp = block.shape[:-1]
+            blk = block.reshape(shp + (self.numtypes, sec.ncoeff))
+            lead = np.zeros(shp + (self.numtypes, 1), dtype)
+            if counts_frac is not None:
+                lead = lead + counts_frac[..., None]
+            out = np.concatenate([lead, blk], axis=-1)
+            return out.reshape(shp + (width,)) * blank2j
+
+        row = 0
+        for pc, res in zip(packed, results):
+            d = pc.data
+            na = pc.natoms
+            nr = 0
+            if calc.energy:
+                counts = np.bincount(pc.types, minlength=self.numtypes) / na
+                a[row] = expand(res["e_cols"] / na, counts)
+                b[row] = (d["Energy"] - res["ref_e"]) / na
+                w[row] = d.get("eweight", 1.0)
+                fs["Row_Type"].append("Energy")
+                fs["Atom_I"].append(0)
+                fs["Atom_Type"].append(0)
+                row += 1
+                nr += 1
+            if calc.force:
+                fr = expand(res["force_rows"][:na].reshape(3 * na, -1))
+                a[row:row + 3 * na] = fr
+                b[row:row + 3 * na] = (np.asarray(d["Forces"], dtype).ravel()
+                                       - res["ref_f"][:na].ravel())
+                w[row:row + 3 * na] = d.get("fweight", 1.0)
+                fs["Row_Type"] += ["Force"] * (3 * na)
+                fs["Atom_I"] += [i // 3 for i in range(3 * na)]
+                fs["Atom_Type"] += [int(t) + 1 for t in pc.types
+                                    for _ in range(3)]
+                row += 3 * na
+                nr += 3 * na
+            if calc.stress:
+                a[row:row + 6] = expand(res["virial_rows"])
+                st = np.asarray(d["Stress"], dtype)
+                b[row:row + 6] = st[[0, 1, 2, 1, 0, 0],
+                                    [0, 1, 2, 2, 2, 1]] - res["ref_v"]
+                w[row:row + 6] = d.get("vweight", 1.0)
+                fs["Row_Type"] += ["Stress"] * 6
+                fs["Atom_I"] += [0] * 6
+                fs["Atom_Type"] += [0] * 6
+                row += 6
+                nr += 6
+            fs["Groups"] += [d["Group"]] * nr
+            fs["Configs"] += [d["File"]] * nr
+            fs["Testing"] += [bool(d["test_bool"])] * nr
+        return a, b, w, fs

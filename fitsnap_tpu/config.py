@@ -1,0 +1,529 @@
+"""Input configuration: INI file or nested dict -> typed section objects.
+
+Input-compatible with the reference's config system
+(`fitsnap3lib/io/input.py`, `fitsnap3lib/io/sections/`): same section names,
+keys, defaults and derived attributes, so shipped example inputs run
+unchanged.  The implementation is a fresh, compact design (no section
+factory / class registry): each section is a plain class that pulls typed
+values out of a shared parser.
+"""
+
+import argparse
+import configparser
+import hashlib
+import random
+import time
+from os import path, sysconf
+from pathlib import Path
+
+
+def strtobool(val) -> int:
+    v = str(val).lower()
+    if v in ("y", "yes", "t", "true", "on", "1"):
+        return 1
+    if v in ("n", "no", "f", "false", "off", "0"):
+        return 0
+    raise ValueError(f"invalid truth value {val!r}")
+
+
+_CONVERTERS = {
+    "str": str, "string": str,
+    "bool": strtobool,
+    "float": float,
+    "int": int, "integer": int,
+}
+
+
+def parse_cmdline(arglist=None):
+    parser = argparse.ArgumentParser(prog="fitsnap_tpu")
+    parser.add_argument("infile", action="store", nargs="?", default=None,
+                        help="path to FitSNAP input script")
+    parser.add_argument("--verbose", "-v", action="store_true", default=False)
+    parser.add_argument("--lammpslog", "-l", action="store_true", default=False)
+    parser.add_argument("--nofit", "-nf", dest="perform_fit",
+                        action="store_false", default=True,
+                        help="compute descriptors only, no fit")
+    parser.add_argument("--overwrite", action="store_true", default=None)
+    parser.add_argument("--relative", action="store_true", default=False)
+    parser.add_argument("--tarball", "-tb", action="store_true", default=False)
+    parser.add_argument("--keyword", "-k", nargs=3, metavar=("GROUP", "NAME", "VALUE"),
+                        dest="keyword_replacements", action="append", default=[])
+    parser.add_argument("--screen", action="store_true", default=True)
+    parser.add_argument("--nscreen", action="store_true", default=False)
+    parser.add_argument("--pscreen", action="store_true", default=False)
+    parser.add_argument("--log", default=None)
+    parser.add_argument("--screen2file", default=None)
+    parser.add_argument("--dtype", default=None,
+                        help="compute dtype override: float32|float64")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="number of devices to shard the config batch over")
+    return parser.parse_args(arglist if arglist else None)
+
+
+class _Reader:
+    """Typed access over a case-preserving ConfigParser."""
+
+    def __init__(self, cp: configparser.ConfigParser):
+        self._cp = cp
+
+    def has_section(self, name):
+        return self._cp.has_section(name)
+
+    def get(self, section, key, fallback, interp="str"):
+        conv = _CONVERTERS[interp]
+        if section not in self._cp:
+            return conv(fallback)
+        return conv(self._cp.get(section, key, fallback=fallback))
+
+    def items(self, section):
+        if section not in self._cp:
+            return []
+        return list(self._cp.items(section))
+
+    def keys(self, section):
+        if section not in self._cp:
+            return []
+        return list(self._cp[section].keys())
+
+
+class BispectrumSection:
+    name = "BISPECTRUM"
+
+    def __init__(self, r: _Reader):
+        self.numtypes = r.get(self.name, "numTypes", "1", "int")
+        self.twojmax = r.get(self.name, "twojmax", "6").split()
+        self.rcutfac = r.get(self.name, "rcutfac", "4.67637", "float")
+        self.rfac0 = r.get(self.name, "rfac0", "0.99363", "float")
+        self.rmin0 = r.get(self.name, "rmin0", "0.0", "float")
+        self.wj = r.get(self.name, "wj", "1.0").split()
+        self.radelem = r.get(self.name, "radelem", "0.5").split()
+        self.types = r.get(self.name, "type", "H").split()
+        self.type_mapping = {t: i + 1 for i, t in enumerate(self.types)}
+        self.chemflag = r.get(self.name, "chemflag", "0", "bool")
+        self.bnormflag = r.get(self.name, "bnormflag", "0", "bool")
+        self.wselfallflag = r.get(self.name, "wselfallflag", "0", "bool")
+        self.bzeroflag = r.get(self.name, "bzeroflag", "0", "bool")
+        self.quadraticflag = r.get(self.name, "quadraticflag", "0", "bool")
+        if self.chemflag and self.quadraticflag:
+            raise ValueError("Quadratic chemsnap not implemented.")
+        self.bikflag = r.get(self.name, "bikflag", "0", "bool")
+        self.switchinnerflag = r.get(self.name, "switchinnerflag", "0", "bool")
+        if self.switchinnerflag:
+            self.sinner = r.get(self.name, "sinner",
+                                (self.numtypes * "0.9 ").strip())
+            self.dinner = r.get(self.name, "dinner",
+                                (self.numtypes * "0.1 ").strip())
+            if (len(self.sinner.split()) != self.numtypes
+                    or len(self.dinner.split()) != self.numtypes):
+                raise ValueError(
+                    "Number of sinner/dinner args must be number of types.")
+        else:
+            self.sinner = self.dinner = None
+        self.switchflag = r.get(self.name, "switchflag", "1", "bool")
+        self.dgradflag = r.get(self.name, "dgradflag", "0", "bool")
+        self._generate_b_list()
+
+    def _generate_b_list(self):
+        """blist / blank2J / ncoeff, matching reference `bispectrum.py:69`."""
+        from itertools import combinations_with_replacement
+        import numpy as np
+
+        self.blist = []
+        blank = []
+        tjmax = int(max(self.twojmax))
+        for atype in range(self.numtypes):
+            i = 0
+            for j1 in range(tjmax + 1):
+                for j2 in range(j1 + 1):
+                    for j in range(abs(j1 - j2), min(tjmax, j1 + j2) + 1, 2):
+                        if j >= j1:
+                            prefac = 1.0 if all(
+                                ind <= int(self.twojmax[atype])
+                                for ind in (j1, j2, j)) else 0.0
+                            i += 1
+                            self.blist.append([i, j1, j2, j])
+                            blank.append(prefac)
+            if self.quadraticflag:
+                sl = len(self.blist) // (atype + 1)
+                seg = self.blist[sl * atype: sl * (atype + 1)]
+                for (a, b) in combinations_with_replacement(seg, r=2):
+                    quad = a[1:] + b[1:]
+                    blank.append(1.0 if all(
+                        ind <= int(self.twojmax[atype]) for ind in quad) else 0.0)
+        if self.chemflag:
+            if int(min(self.twojmax)) != int(max(self.twojmax)):
+                raise RuntimeError(
+                    "Mixed per-element 2J with chemflag not supported.")
+            self.blist = self.blist * self.numtypes ** 3
+            blank = blank * self.numtypes ** 3
+        if self.quadraticflag:
+            per_type = len(self.blist) // self.numtypes
+            new = []
+            for atype in range(self.numtypes):
+                seg = self.blist[per_type * atype: per_type * (atype + 1)]
+                new += seg
+                new += [[i, a, b] for i, (a, b) in enumerate(
+                    combinations_with_replacement(seg, r=2), start=len(seg))]
+            self.blist = new
+        self.ncoeff = len(self.blist) // self.numtypes
+        blank = np.asarray(blank, dtype=float)
+        if not self.bzeroflag:
+            blank = blank.reshape(self.numtypes, -1)
+            blank = np.concatenate(
+                [np.ones((self.numtypes, 1)), blank], axis=1).reshape(-1)
+        self.blank2J = blank
+
+
+class AceSection:
+    """ACE hyperparameter section (descriptor table generation happens in
+    `fitsnap_tpu.ops.ace_couple` at calculator setup)."""
+
+    name = "ACE"
+
+    def __init__(self, r: _Reader):
+        self.numtypes = r.get(self.name, "numTypes", "1", "int")
+        self.types = r.get(self.name, "type", "H").split()
+        self.type_mapping = {t: i + 1 for i, t in enumerate(self.types)}
+        self.ranks = [int(x) for x in r.get(self.name, "ranks", "1 2 3").split()]
+        self.lmax = [int(x) for x in r.get(self.name, "lmax", "0 2 2").split()]
+        self.nmax = [int(x) for x in r.get(self.name, "nmax", "2 2 2").split()]
+        self.nmaxbase = r.get(self.name, "nmaxbase", "16", "int")
+        self.rcutfac = [float(x) for x in r.get(self.name, "rcutfac", "4.5").split()]
+        self.lmbda = [float(x) for x in r.get(self.name, "lambda", "3.0").split()]
+        self.rcinner = [float(x) for x in r.get(self.name, "rcinner", "0.0").split()]
+        self.drcinner = [float(x) for x in r.get(self.name, "drcinner", "0.01").split()]
+        self.lmin = [int(x) for x in r.get(self.name, "lmin", "0").split()]
+        self.bzeroflag = r.get(self.name, "bzeroflag", "1", "bool")
+        self.erefs = [float(x) for x in r.get(self.name, "erefs", " ".join(["0.0"] * self.numtypes)).split()]
+        self.bikflag = r.get(self.name, "bikflag", "0", "bool")
+        self.dgradflag = r.get(self.name, "dgradflag", "0", "bool")
+        self.ncoeff = None   # set by the ACE calculator once labels are built
+        self.blist = None
+        self.blank2J = None
+
+
+class CalculatorSection:
+    name = "CALCULATOR"
+
+    def __init__(self, r: _Reader):
+        self.calculator = r.get(self.name, "calculator", "LAMMPSSNAP")
+        self.energy = r.get(self.name, "energy", "True", "bool")
+        self.per_atom_energy = r.get(self.name, "per_atom_energy", "False", "bool")
+        self.per_atom_scalar = r.get(self.name, "per_atom_scalar", "False", "bool")
+        self.force = r.get(self.name, "force", "True", "bool")
+        self.stress = r.get(self.name, "stress", "True", "bool")
+        self.nonlinear = r.get(self.name, "nonlinear", "False", "bool")
+        self.linear = not self.nonlinear
+
+
+class EshiftSection:
+    name = "ESHIFT"
+
+    def __init__(self, r: _Reader, types):
+        self.eshift = {}
+        if r.has_section(self.name):
+            for t in types:
+                self.eshift[t] = r.get(self.name, t, "0.0", "float")
+
+
+class GroupsSection:
+    name = "GROUPS"
+
+    _OWN_KEYS = {"group_sections", "group_types", "smartweights",
+                 "random_sampling", "random_seed", "BOLTZ",
+                 "vasp_use_TOTEN", "vasp_json_pathname",
+                 "vasp_ignore_incomplete", "vasp_ignore_jsons",
+                 "vasp_unconverged_label"}
+
+    def __init__(self, r: _Reader, group_file=None):
+        self.group_sections = r.get(
+            self.name, "group_sections", "name size eweight fweight vweight").split()
+        types = r.get(self.name, "group_types", "str float float float float").split()
+        self.group_types = [
+            {"str": str, "bool": bool, "int": int, "float": float}.get(t, str)
+            for t in types]
+        self.smartweights = r.get(self.name, "smartweights", "0", "bool")
+        self.random_sampling = r.get(self.name, "random_sampling", "0", "bool")
+        self.random_seed = r.get(self.name, "random_seed", "0", "float")
+        self.boltz = r.get(self.name, "BOLTZ", "0", "float")
+        self.group_table = {}
+        if group_file is not None and path.exists(group_file):
+            self._read_group_file(group_file)
+        else:
+            for key, value in r.items(self.name):
+                if key in self._OWN_KEYS:
+                    continue
+                vals = value.split()
+                if len(vals) != len(self.group_sections) - 1:
+                    raise ValueError(
+                        f"group {key}: expected {len(self.group_sections) - 1} "
+                        f"columns, found {len(vals)}")
+                self.group_table[key] = {
+                    self.group_sections[i + 1]: self.group_types[i + 1](v)
+                    for i, v in enumerate(vals)}
+
+    def _read_group_file(self, group_file):
+        with open(group_file) as f:
+            for line in f:
+                line = line.split("#")[0].strip()
+                if not line:
+                    continue
+                vals = line.split()
+                self.group_table[vals[0]] = {
+                    self.group_sections[i + 1]: self.group_types[i + 1](v)
+                    for i, v in enumerate(vals[1:])}
+
+
+class MemorySection:
+    name = "MEMORY"
+
+    def __init__(self, r: _Reader):
+        try:
+            mem_bytes = sysconf("SC_PAGE_SIZE") * sysconf("SC_PHYS_PAGES")
+        except (ValueError, OSError):
+            mem_bytes = 0
+        self.memory = r.get(self.name, "memory", str(mem_bytes), "int")
+        self.override = r.get(self.name, "override", "False", "bool")
+
+
+class OutfileSection:
+    name = "OUTFILE"
+
+    def __init__(self, r: _Reader, outdir=""):
+        self.output_style = r.get(self.name, "output_style", "SNAP")
+        self.metrics_style = r.get(self.name, "metrics_style", "MD")
+        self.metric_file = path.join(outdir, r.get(self.name, "metrics", "fitsnap_metrics"))
+        self.potential_name = path.join(outdir, r.get(self.name, "potential", "fitsnap_potential"))
+        self.metrics = self.metric_file
+        self.potential = self.potential_name
+        # EXTRAS dump targets
+        self.descriptor_file = path.join(outdir, r.get(self.name, "descriptors", "Descriptors.npy"))
+        self.truth_file = path.join(outdir, r.get(self.name, "truth", "Truth-Ref.npy"))
+        self.weights_file = path.join(outdir, r.get(self.name, "weights", "Weights.npy"))
+        self.dataframe_file = path.join(outdir, r.get(self.name, "dataframe", "FitSNAP.df"))
+        self.peratom_file = path.join(outdir, r.get(self.name, "peratom", "peratom.dat"))
+        self.perconfig_file = path.join(outdir, r.get(self.name, "perconfig", "perconfig.dat"))
+        self.configs_file = path.join(outdir, r.get(self.name, "configs", "configs.pickle"))
+
+
+class PathSection:
+    name = "PATH"
+
+    def __init__(self, r: _Reader, infile_directory=""):
+        self.infile_directory = infile_directory
+        self.datapath = path.join(infile_directory, r.get(self.name, "dataPath", "JSON"))
+        self.group_file = path.join(infile_directory, r.get(self.name, "groupFile", "grouplist.in"))
+        self.has_group_file = r.get(self.name, "groupFile", "None") != "None"
+
+
+class ReferenceSection:
+    name = "REFERENCE"
+
+    def __init__(self, r: _Reader):
+        self.units = r.get(self.name, "units", "metal").lower()
+        self.atom_style = r.get(self.name, "atom_style", "atomic").lower()
+        self.lmp_pairdecl = [
+            "pair_style " + r.get(self.name, "pair_style", "zero 10.0")]
+        for key, value in r.items(self.name):
+            if key.startswith("pair_coeff"):
+                self.lmp_pairdecl.append("pair_coeff " + value)
+        if len(self.lmp_pairdecl) == 1:
+            self.lmp_pairdecl.append("pair_coeff * *")
+
+
+class ScraperSection:
+    name = "SCRAPER"
+
+    def __init__(self, r: _Reader):
+        self.scraper = r.get(self.name, "scraper", "JSON")
+        self.save_group_scrape = r.get(self.name, "save_group_scrape", "None")
+        self.read_group_scrape = r.get(self.name, "read_group_scrape", "None")
+        self.properties = {
+            "Stress": ["pressure", "Metal", "Metal"],
+            "Lattice": ["length", "Metal", "Metal"],
+            "Energy": ["energy", "Metal", "Metal"],
+            "Positions": ["length", "Metal", "Metal"],
+            "Forces": ["force", "Metal", "Metal"],
+        }
+        arr = r.get(self.name, "property_array", "None")
+        if arr != "None":
+            arr = arr.replace("=", "").replace(":", "").replace(";", "\n").split("\n")
+            for item in arr:
+                if item.strip():
+                    parts = item.split()
+                    self.properties[parts[0].capitalize()] = parts[1:]
+
+
+class SolverSection:
+    name = "SOLVER"
+
+    def __init__(self, r: _Reader):
+        self.solver = r.get(self.name, "solver", "SVD")
+        self.true_multinode = 1 if self.solver == "ScaLAPACK" else 0
+        self.normalweight = r.get(self.name, "normalweight", "-12", "float")
+        self.normratio = r.get(self.name, "normratio", "0.5", "float")
+        self.compute_testerrs = r.get(self.name, "compute_testerrs", "0", "bool")
+        self.detailed_errors = r.get(self.name, "detailed_errors", "0", "bool")
+        self.nsam = r.get(self.name, "nsam",
+                          "133" if self.solver == "MCMC" else "0", "int")
+        self.cov_nugget = r.get(self.name, "cov_nugget", "0.0", "float")
+        self.mcmc_num = r.get(self.name, "mcmc_num", "10000", "int")
+        self.mcmc_gamma = r.get(self.name, "mcmc_gamma", "0.01", "float")
+        self.mcmc_sigma = r.get(self.name, "mcmc_sigma", "0.1", "float")
+        self.merr_mult = r.get(self.name, "merr_mult", "0", "bool")
+        self.merr_method = r.get(self.name, "merr_method", "abc")
+        self.merr_cfs = r.get(self.name, "merr_cfs", "all")
+
+
+class RidgeSection:
+    name = "RIDGE"
+
+    def __init__(self, r: _Reader):
+        self.alpha = r.get(self.name, "alpha", "1.0e-6", "float")
+        self.local_solver = r.get(self.name, "local_solver", "0", "bool")
+
+
+class LassoSection:
+    name = "LASSO"
+
+    def __init__(self, r: _Reader):
+        self.alpha = r.get(self.name, "alpha", "1.0e-6", "float")
+        self.max_iter = r.get(self.name, "max_iter", "2000", "int")
+
+
+class ArdSection:
+    name = "ARD"
+
+    def __init__(self, r: _Reader):
+        self.alphabig = r.get(self.name, "alphabig", "1.0e-12", "float")
+        self.alphasmall = r.get(self.name, "alphasmall", "1.0e-14", "float")
+        self.lambdabig = r.get(self.name, "lambdabig", "1.0e-6", "float")
+        self.lambdasmall = r.get(self.name, "lambdasmall", "1.0e-6", "float")
+        self.threshold_lambda = r.get(self.name, "threshold_lambda", "100000", "int")
+        self.directmethod = r.get(self.name, "directmethod", "0", "bool")
+        self.logcut = r.get(self.name, "logcut", "-4", "float")
+
+
+class NetworkSection:
+    """NN solver settings; accepts both [PYTORCH] and [NETWORK] section names
+    for input compatibility with the reference's examples."""
+
+    def __init__(self, r: _Reader, name, num_desc):
+        self.name = name
+        layer_sizes = r.get(name, "layer_sizes", "num_desc 64 64 1").split()
+        if layer_sizes[0] == "num_desc":
+            layer_sizes[0] = str(num_desc)
+        self.layer_sizes = [int(x) for x in layer_sizes]
+        self.learning_rate = r.get(name, "learning_rate", "1e-4", "float")
+        self.num_epochs = r.get(name, "num_epochs", "10", "int")
+        self.batch_size = r.get(name, "batch_size", "10", "int")
+        self.energy_weight = r.get(name, "energy_weight", "nan", "float")
+        self.force_weight = r.get(name, "force_weight", "nan", "float")
+        self.global_weight_bool = self.energy_weight == self.energy_weight  # not NaN
+        self.training_fraction = r.get(name, "training_fraction", "1.0", "float")
+        self.multi_element_option = r.get(name, "multi_element_option", "1", "int")
+        self.manual_seed_flag = r.get(name, "manual_seed_flag", "0", "bool")
+        self.shuffle_flag = r.get(name, "shuffle_flag", "1", "bool")
+        self.save_state_output = r.get(name, "save_state_output", "None")
+        self.save_state_input = r.get(name, "save_state_input", "None")
+        self.output_file = r.get(name, "output_file", "FitTorch_Pytorch.pt")
+        self.dtype_str = r.get(name, "dtype", "float32")
+
+
+class ExtrasSection:
+    name = "EXTRAS"
+
+    def __init__(self, r: _Reader):
+        self.multinode_testing = r.get(self.name, "multinode_testing", "0", "bool")
+        self.apply_transpose = r.get(self.name, "apply_transpose", "0", "bool")
+        self.only_test = r.get(self.name, "only_test", "0", "bool")
+        self.dump_a = r.get(self.name, "dump_descriptors", "0", "bool")
+        self.dump_b = r.get(self.name, "dump_truth", "0", "bool")
+        self.dump_w = r.get(self.name, "dump_weights", "0", "bool")
+        self.dump_dataframe = r.get(self.name, "dump_dataframe", "0", "bool")
+        self.dump_peratom = r.get(self.name, "dump_peratom", "0", "bool")
+        self.dump_perconfig = r.get(self.name, "dump_perconfig", "0", "bool")
+        self.dump_configs = r.get(self.name, "dump_configs", "0", "bool")
+
+
+class Config:
+    """Top-level parsed configuration.
+
+    Args:
+        input: path to an INI input script, or a nested dict of sections.
+        arglist: optional CLI-style argument list (library mode).
+    """
+
+    def __init__(self, input=None, arglist=None):
+        self.args = parse_cmdline(arglist)
+        self.input = input
+
+        cp = configparser.ConfigParser(inline_comment_prefixes="#")
+        cp.optionxform = str
+        self.infile = None
+        if isinstance(input, str):
+            self.infile = input
+        elif isinstance(input, dict):
+            for k1, d1 in input.items():
+                cp[k1] = {}
+                for k2, v2 in d1.items():
+                    cp[k1][str(k2)] = str(v2)
+        elif input is None:
+            if self.args.infile is None:
+                raise FileNotFoundError("no input file given")
+            self.infile = self.args.infile
+
+        if self.infile is not None:
+            if not Path(self.infile).is_file():
+                raise FileNotFoundError(f"Input file not found: {self.infile}")
+            cp.read(self.infile)
+
+        for kwg, kwn, kwv in self.args.keyword_replacements:
+            if kwg not in cp:
+                raise ValueError(f"{kwg} is not a valid keyword group")
+            cp[kwg][kwn] = kwv
+
+        # run provenance hash (reference `io/input.py:44`)
+        h = hashlib.md5()
+        h.update(str(time.time()).encode())
+        h.update(str(random.random()).encode())
+        self.hash = h.hexdigest()
+
+        r = _Reader(cp)
+        self._reader = r
+        infile_dir = str(Path(self.infile).parent) if self.infile else ""
+        outdir = infile_dir if self.args.relative else ""
+
+        self.sections = {}
+        self.sections["CALCULATOR"] = CalculatorSection(r)
+        if r.has_section("BISPECTRUM"):
+            self.sections["BISPECTRUM"] = BispectrumSection(r)
+            desc_section = self.sections["BISPECTRUM"]
+        elif r.has_section("ACE"):
+            self.sections["ACE"] = AceSection(r)
+            desc_section = self.sections["ACE"]
+        else:
+            raise ValueError("need a BISPECTRUM or ACE section")
+        self.sections["ESHIFT"] = EshiftSection(r, desc_section.types)
+        self.sections["PATH"] = PathSection(r, infile_dir)
+        pf = self.sections["PATH"].group_file if self.sections["PATH"].has_group_file else None
+        self.sections["GROUPS"] = GroupsSection(r, pf)
+        self.sections["MEMORY"] = MemorySection(r)
+        self.sections["OUTFILE"] = OutfileSection(r, outdir)
+        self.sections["REFERENCE"] = ReferenceSection(r)
+        self.sections["SCRAPER"] = ScraperSection(r)
+        self.sections["SOLVER"] = SolverSection(r)
+        self.sections["EXTRAS"] = ExtrasSection(r)
+        if r.has_section("RIDGE"):
+            self.sections["RIDGE"] = RidgeSection(r)
+        if r.has_section("LASSO"):
+            self.sections["LASSO"] = LassoSection(r)
+        if r.has_section("ARD"):
+            self.sections["ARD"] = ArdSection(r)
+        ncoeff = getattr(desc_section, "ncoeff", 0) or 0
+        for nn_name in ("PYTORCH", "NETWORK", "JAX"):
+            if r.has_section(nn_name):
+                self.sections[nn_name] = NetworkSection(r, nn_name, ncoeff)
+
+    def has_section(self, name):
+        return name in self.sections

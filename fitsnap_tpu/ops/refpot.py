@@ -1,0 +1,219 @@
+"""Reference (subtracted) potentials in JAX: `zero`, `zbl`, `hybrid/overlay`.
+
+The reference drives LAMMPS pair styles per config and subtracts the
+resulting energy/forces/stress from the training truths
+(`fitsnap3lib/calculators/lammps_snap.py:470-540`).  Here the same physics is
+a pure JAX function of the padded neighbor tensors; forces and virials come
+from autodiff, so they are exactly consistent with the energy.
+
+ZBL follows LAMMPS `pair_style zbl` (metal units): universal screening
+function plus a C1-smooth switching polynomial between the inner and outer
+cutoffs, with the constant shift sw5 making E(outer) = 0.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# LAMMPS pair_zbl constants (metal units)
+_PZBL = 0.23
+_A0 = 0.46850
+_C = np.array([0.02817, 0.28022, 0.50986, 0.18175])
+_D = np.array([0.20162, 0.40290, 0.94229, 3.19980])
+_QQR2E = 14.399645  # eV*A
+
+
+def _e_zbl_np(r, zi, zj):
+    a = _A0 / (zi ** _PZBL + zj ** _PZBL)
+    pre = _QQR2E * zi * zj
+    x = r / a
+    phi = (_C * np.exp(-_D * x)).sum()
+    return pre / r * phi
+
+
+def _de_zbl_np(r, zi, zj):
+    a = _A0 / (zi ** _PZBL + zj ** _PZBL)
+    pre = _QQR2E * zi * zj
+    x = r / a
+    phi = (_C * np.exp(-_D * x)).sum()
+    dphi = (-(_C * _D) * np.exp(-_D * x)).sum() / a
+    return -pre / r ** 2 * phi + pre / r * dphi
+
+
+def _d2e_zbl_np(r, zi, zj):
+    a = _A0 / (zi ** _PZBL + zj ** _PZBL)
+    pre = _QQR2E * zi * zj
+    x = r / a
+    phi = (_C * np.exp(-_D * x)).sum()
+    dphi = (-(_C * _D) * np.exp(-_D * x)).sum() / a
+    d2phi = ((_C * _D * _D) * np.exp(-_D * x)).sum() / a ** 2
+    return 2 * pre / r ** 3 * phi - 2 * pre / r ** 2 * dphi + pre / r * d2phi
+
+
+@dataclass(frozen=True)
+class ZblParams:
+    """Per-type-pair ZBL tables (ntypes, ntypes)."""
+    cut_inner: float
+    cut_outer: float
+    zi: np.ndarray
+    zj: np.ndarray
+    sw3: np.ndarray
+    sw4: np.ndarray
+    sw5: np.ndarray
+    active: np.ndarray  # bool mask of coeff'd type pairs
+
+
+def build_zbl(cut_inner, cut_outer, pair_z, ntypes):
+    """pair_z: dict {(ti, tj) 0-based: (Zi, Zj)}; wildcarded pairs expanded."""
+    zi = np.zeros((ntypes, ntypes))
+    zj = np.zeros((ntypes, ntypes))
+    active = np.zeros((ntypes, ntypes), bool)
+    for (ti, tj), (a, b) in pair_z.items():
+        zi[ti, tj] = zi[tj, ti] = a
+        zj[ti, tj] = zj[tj, ti] = b
+        active[ti, tj] = active[tj, ti] = True
+    sw3 = np.zeros((ntypes, ntypes))
+    sw4 = np.zeros((ntypes, ntypes))
+    sw5 = np.zeros((ntypes, ntypes))
+    tc = cut_outer - cut_inner
+    for ti in range(ntypes):
+        for tj in range(ntypes):
+            if not active[ti, tj]:
+                continue
+            fc = _e_zbl_np(cut_outer, zi[ti, tj], zj[ti, tj])
+            fcp = _de_zbl_np(cut_outer, zi[ti, tj], zj[ti, tj])
+            fcpp = _d2e_zbl_np(cut_outer, zi[ti, tj], zj[ti, tj])
+            swa = (-3.0 * fcp + tc * fcpp) / tc ** 2
+            swb = (2.0 * fcp - tc * fcpp) / tc ** 3
+            sw3[ti, tj] = swa / 3.0
+            sw4[ti, tj] = swb / 4.0
+            sw5[ti, tj] = -fc - sw3[ti, tj] * tc ** 3 - sw4[ti, tj] * tc ** 4
+    return ZblParams(cut_inner, cut_outer, zi, zj, sw3, sw4, sw5, active)
+
+
+def zbl_pair_energy(r, ti, tj, p: ZblParams):
+    """Smooth-switched ZBL pair energy (elementwise over padded pairs)."""
+    dtype = r.dtype
+    zi = jnp.asarray(p.zi, dtype)[ti, tj]
+    zj = jnp.asarray(p.zj, dtype)[ti, tj]
+    a = _A0 / (zi ** _PZBL + zj ** _PZBL)
+    pre = _QQR2E * zi * zj
+    x = r / a
+    c = jnp.asarray(_C, dtype)
+    d = jnp.asarray(_D, dtype)
+    phi = jnp.sum(c * jnp.exp(-d * x[..., None]), axis=-1)
+    e = pre / r * phi
+    e = e + jnp.asarray(p.sw5, dtype)[ti, tj]
+    t = r - p.cut_inner
+    esw = t * t * t * (jnp.asarray(p.sw3, dtype)[ti, tj]
+                       + jnp.asarray(p.sw4, dtype)[ti, tj] * t)
+    e = e + jnp.where(r > p.cut_inner, esw, 0.0)
+    e = jnp.where((r < p.cut_outer) & jnp.asarray(p.active)[ti, tj], e, 0.0)
+    return e
+
+
+@dataclass(frozen=True)
+class RefSpec:
+    """Parsed REFERENCE section: list of active pair potentials."""
+    zbl: ZblParams = None
+    max_cutoff: float = 0.0
+
+
+def parse_reference(section, ntypes) -> RefSpec:
+    """Parse `pair_style` / `pair_coeff` declarations (reference section
+    forwards them verbatim to LAMMPS; we interpret the supported subset)."""
+    decls = section.lmp_pairdecl
+    style_line = decls[0].split()
+    assert style_line[0] == "pair_style"
+    styles = {}
+    toks = style_line[1:]
+    if toks[0] == "hybrid/overlay":
+        i = 1
+        while i < len(toks):
+            name = toks[i]
+            args = []
+            i += 1
+            while i < len(toks):
+                try:
+                    args.append(float(toks[i]))
+                    i += 1
+                except ValueError:
+                    break
+            styles[name] = args
+    else:
+        name = toks[0]
+        styles[name] = [float(x) for x in toks[1:]]
+
+    for name in styles:
+        if name not in ("zero", "zbl", "spin/exchange/biquadratic"):
+            raise NotImplementedError(f"reference pair style '{name}' not supported")
+
+    zbl_pairs = {}
+    for line in decls[1:]:
+        toks = line.split()
+        assert toks[0] == "pair_coeff"
+        ti_s, tj_s = toks[1], toks[2]
+        rest = toks[3:]
+        # hybrid: next token names the sub-style
+        style = rest[0] if rest and not _is_num(rest[0]) else None
+        args = rest[1:] if style else rest
+        if style == "zbl" or (style is None and "zbl" in styles and len(styles) == 1):
+            t_is = range(ntypes) if ti_s == "*" else [int(ti_s) - 1]
+            t_js = range(ntypes) if tj_s == "*" else [int(tj_s) - 1]
+            for a in t_is:
+                for b in t_js:
+                    zbl_pairs[(a, b)] = (float(args[0]), float(args[1]))
+
+    zbl = None
+    max_cut = 0.0
+    if "zbl" in styles:
+        cut_inner, cut_outer = styles["zbl"][0], styles["zbl"][1]
+        zbl = build_zbl(cut_inner, cut_outer, zbl_pairs, ntypes)
+        max_cut = max(max_cut, cut_outer)
+    return RefSpec(zbl=zbl, max_cutoff=max_cut)
+
+
+def _is_num(s):
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec):
+    """Reference-potential (energy, forces (A,3), virial (6,) in eV units).
+
+    disp: (A, K, 3) r_j - r_i over the directed padded neighbor list; each
+    physical pair appears twice, so pair sums carry a 0.5 factor.
+    Virial components ordered (xx, yy, zz, yz, xz, xy), W_ab = -0.5 sum
+    D_a dE/dD_b matching the sign convention validated against the oracle.
+    """
+    A = disp.shape[0]
+    if spec.zbl is None:
+        z = jnp.zeros((), disp.dtype)
+        return z, jnp.zeros((A, 3), disp.dtype), jnp.zeros((6,), disp.dtype)
+
+    ti = jnp.broadcast_to(types[:, None], jidx.shape)
+    tj = types[jidx]
+
+    def total_energy(d):
+        safe = jnp.where(mask[..., None], d, jnp.array([1.0, 0.0, 0.0], d.dtype))
+        r = jnp.sqrt(jnp.sum(safe * safe, -1))
+        e = zbl_pair_energy(r, ti, tj, spec.zbl)
+        e = jnp.where(mask, e, 0.0)
+        return 0.5 * jnp.sum(e)
+
+    energy, g = jax.value_and_grad(total_energy)(disp)
+    # dE/dx_n = scatter_j(g) - rowsum_i(g);  F = -dE/dx
+    # (one-hot matmul instead of scatter: see calculators/snap.py)
+    oj = jax.nn.one_hot(jidx, A, dtype=disp.dtype)
+    scat = jnp.einsum("ikn,ikc->nc", oj, g)
+    forces = -(scat - g.sum(axis=1))
+    pairs_a = jnp.array([0, 1, 2, 1, 0, 0])
+    pairs_b = jnp.array([0, 1, 2, 2, 2, 1])
+    virial = -jnp.einsum("ika,ikb->ab", disp * mask[..., None].astype(disp.dtype), g)
+    virial6 = virial[pairs_a, pairs_b]
+    return energy, forces, virial6

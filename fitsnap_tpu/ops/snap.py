@@ -1,0 +1,478 @@
+"""Jittable SNAP bispectrum kernel (JAX, TPU-first).
+
+Replaces the reference's per-config embedded-LAMMPS descriptor pass
+(`fitsnap3lib/calculators/lammps_snap.py` driving C++ `compute snap`) with a
+single batched, differentiable function of padded neighbor displacement
+tensors.  Forces and virials come from autodiff through this kernel rather
+than the C++ dgrad path.
+
+Layout: a config is (A, K) padded atoms x neighbors. The Wigner-U expansion
+is computed per neighbor pair with a static python recursion over j (traced
+once, fully unrolled by XLA), weighted-summed over neighbors into `utot`, and
+contracted into bispectrum components with the flat trilinear plan from
+`fitsnap_tpu.ops.cg.build_snap_plan`.
+
+Complex arithmetic is carried as explicit (real, imag) pairs: TPUs have no
+native complex type and this keeps the kernel Pallas-portable.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitsnap_tpu.ops.cg import SnapPlan, build_snap_plan, rootpq_tables, sym_signs
+
+
+@dataclass(frozen=True)
+class SnapParams:
+    """Runtime SNAP hyperparameters (static per fit)."""
+
+    plan: Any                 # SnapPlan (static pytree-leaf-free)
+    rcutfac: float
+    rfac0: float
+    rmin0: float
+    switchflag: bool
+    switchinnerflag: bool
+    wj: Any                   # (nelem,) array
+    radelem: Any              # (nelem,) array
+    sinner: Any = None        # (nelem,) array
+    dinner: Any = None        # (nelem,) array
+    wself: float = 1.0
+
+
+def make_params(section) -> SnapParams:
+    """Build SnapParams from a BISPECTRUM config section."""
+    plan = build_snap_plan(
+        twojmax=int(max(int(t) for t in section.twojmax)),
+        nelements=section.numtypes,
+        chemflag=bool(section.chemflag),
+        bnormflag=bool(section.bnormflag),
+        bzeroflag=bool(section.bzeroflag),
+        wselfallflag=bool(section.wselfallflag),
+        quadraticflag=bool(section.quadraticflag),
+    )
+    sinner = dinner = None
+    if section.switchinnerflag:
+        sinner = np.array([float(x) for x in section.sinner.split()])
+        dinner = np.array([float(x) for x in section.dinner.split()])
+    return SnapParams(
+        plan=plan,
+        rcutfac=float(section.rcutfac),
+        rfac0=float(section.rfac0),
+        rmin0=float(section.rmin0),
+        switchflag=bool(section.switchflag),
+        switchinnerflag=bool(section.switchinnerflag),
+        wj=np.array([float(x) for x in section.wj]),
+        radelem=np.array([float(x) for x in section.radelem]),
+        sinner=sinner,
+        dinner=dinner,
+    )
+
+
+def compute_sfac(r, rcutij, rmin0, switchflag, sinnerij=None, dinnerij=None,
+                 switchinnerflag=False):
+    """LAMMPS SNA switching function (outer cosine ramp, optional inner)."""
+    if switchflag:
+        rscale = jnp.pi / (rcutij - rmin0)
+        ramp = 0.5 * (jnp.cos((r - rmin0) * rscale) + 1.0)
+        sfac = jnp.where(r <= rmin0, 1.0, jnp.where(r > rcutij, 0.0, ramp))
+    else:
+        sfac = jnp.ones_like(r)
+    if switchinnerflag:
+        arg = jnp.clip((r - sinnerij) * (0.5 * jnp.pi) / dinnerij,
+                       -0.5 * jnp.pi, 0.5 * jnp.pi)
+        inner = 0.5 * (1.0 - jnp.cos(0.5 * jnp.pi + arg))
+        inner = jnp.where(r >= sinnerij + dinnerij, 1.0, inner)
+        inner = jnp.where(r <= sinnerij - dinnerij, 0.0, inner)
+        sfac = sfac * inner
+    return sfac
+
+
+def compute_ulist(ar, ai, br, bi, twojmax):
+    """Wigner-U expansion per pair via the LAMMPS two-term recursion.
+
+    (ar, ai), (br, bi): Cayley-Klein parameters, arbitrary batch shape (...).
+    Returns list over j=0..twojmax of (ur, ui) with shape (..., j+1, j+1)
+    indexed [mb, ma].
+    """
+    dtype = ar.dtype
+    batch = ar.shape
+    tables = rootpq_tables(twojmax)
+    signs = sym_signs(twojmax)
+
+    u = [(jnp.ones(batch + (1, 1), dtype), jnp.zeros(batch + (1, 1), dtype))]
+    arx = ar[..., None, None]
+    aix = ai[..., None, None]
+    brx = br[..., None, None]
+    bix = bi[..., None, None]
+    for j in range(1, twojmax + 1):
+        pr, pi = u[j - 1]                       # (..., j, j)
+        pad = [(0, 0)] * (pr.ndim - 2)
+        # a-term source: prev at [mb, ma]; b-term source: prev at [mb, ma-1]
+        pr_a = jnp.pad(pr, pad + [(0, 1), (0, 1)])
+        pi_a = jnp.pad(pi, pad + [(0, 1), (0, 1)])
+        pr_b = jnp.pad(pr, pad + [(0, 1), (1, 0)])
+        pi_b = jnp.pad(pi, pad + [(0, 1), (1, 0)])
+        ca, cb = tables[j - 1]
+        ca = jnp.asarray(ca, dtype)
+        cb = jnp.asarray(cb, dtype)
+        # conj(a) * u  and  conj(b) * u
+        ta_r = arx * pr_a + aix * pi_a
+        ta_i = arx * pi_a - aix * pr_a
+        tb_r = brx * pr_b + bix * pi_b
+        tb_i = brx * pi_b - bix * pr_b
+        half_r = ca * ta_r - cb * tb_r
+        half_i = ca * ta_i - cb * tb_i
+        # symmetry completion: u[j-mb, j-ma] = (-1)^(ma+mb) conj(u[mb, ma])
+        sign = jnp.asarray(signs[j - 1], dtype)
+        sym_r = sign * half_r[..., ::-1, ::-1]
+        sym_i = -sign * half_i[..., ::-1, ::-1]
+        mb = np.arange(j + 1)[:, None]
+        low = jnp.asarray((2 * mb <= j) + np.zeros((j + 1, j + 1), bool))
+        u.append((jnp.where(low, half_r, sym_r), jnp.where(low, half_i, sym_i)))
+    return u
+
+
+def flatten_ulist(u):
+    """Concatenate per-j U blocks into a flat (..., U) vector pair."""
+    ur = jnp.concatenate([x[0].reshape(x[0].shape[:-2] + (-1,)) for x in u], -1)
+    ui = jnp.concatenate([x[1].reshape(x[1].shape[:-2] + (-1,)) for x in u], -1)
+    return ur, ui
+
+
+def compute_utot(disp, jelem, mask, ielem, p: SnapParams):
+    """Neighbor-summed U expansion.
+
+    disp: (A, K, 3) displacement vectors r_j - r_i (padded entries arbitrary).
+    jelem: (A, K) int neighbor element (0-based). mask: (A, K) bool.
+    ielem: (A,) int central-atom element.
+    Returns (utot_r, utot_i): (A, nchem * U).
+    """
+    dtype = disp.dtype
+    plan = p.plan
+    radelem = jnp.asarray(p.radelem, dtype)
+    wjel = jnp.asarray(p.wj, dtype)
+
+    safe = jnp.where(mask[..., None], disp, jnp.array([1.0, 0.0, 0.0], dtype))
+    x, y, z = safe[..., 0], safe[..., 1], safe[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    rcutij = (radelem[ielem][:, None] + radelem[jelem]) * p.rcutfac
+
+    theta0 = (r - p.rmin0) * (p.rfac0 * jnp.pi) / (rcutij - p.rmin0)
+    z0 = r / jnp.tan(theta0)
+    r0inv = 1.0 / jnp.sqrt(r * r + z0 * z0)
+    ar, ai = r0inv * z0, -r0inv * z
+    br, bi = r0inv * y, -r0inv * x
+
+    sinnerij = dinnerij = None
+    if p.switchinnerflag:
+        sin_el = jnp.asarray(p.sinner, dtype)
+        din_el = jnp.asarray(p.dinner, dtype)
+        sinnerij = 0.5 * (sin_el[ielem][:, None] + sin_el[jelem])
+        dinnerij = 0.5 * (din_el[ielem][:, None] + din_el[jelem])
+    sfac = compute_sfac(r, rcutij, p.rmin0, p.switchflag,
+                        sinnerij, dinnerij, p.switchinnerflag)
+    w = jnp.where(mask, sfac * wjel[jelem], jnp.zeros_like(r))   # (A, K)
+
+    u = compute_ulist(ar, ai, br, bi, plan.twojmax)
+    ur, ui = flatten_ulist(u)                                     # (A, K, U)
+
+    nchem = plan.nelements if plan.chemflag else 1
+    if nchem == 1:
+        utr = jnp.einsum("ak,aku->au", w, ur)
+        uti = jnp.einsum("ak,aku->au", w, ui)
+    else:
+        chan = jax.nn.one_hot(jelem, nchem, dtype=dtype) * w[..., None]
+        utr = jnp.einsum("akc,aku->acu", chan, ur).reshape(ur.shape[0], -1)
+        uti = jnp.einsum("akc,aku->acu", chan, ui).reshape(ui.shape[0], -1)
+
+    # Self contribution: wself on the diagonal (central atom's own channel
+    # unless wselfallflag).
+    self_idx = jnp.asarray(plan.self_idx)
+    selfvec = jnp.zeros((plan.u_len,), dtype).at[self_idx].set(p.wself)
+    if nchem == 1:
+        utr = utr + selfvec[None, :]
+    else:
+        if plan.wselfallflag:
+            utr = utr + jnp.tile(selfvec, nchem)[None, :]
+        else:
+            chan_one = jax.nn.one_hot(ielem, nchem, dtype=dtype)     # (A, nchem)
+            utr = utr + (chan_one[:, :, None] * selfvec[None, None, :]
+                         ).reshape(utr.shape[0], -1)
+    return utr, uti
+
+
+def bispectrum_from_utot(utr, uti, plan: SnapPlan):
+    """Trilinear CG contraction: utot -> per-atom bispectrum B (A, nb_base).
+
+    The per-term products are gathered, then contracted against the dense
+    (nterms_base, ntriples) coefficient matrix — a matmul instead of a
+    segment-sum, so forward AND backward are MXU-shaped (no XLA scatter).
+    """
+    i1 = jnp.asarray(plan.i1)
+    i2 = jnp.asarray(plan.i2)
+    i3 = jnp.asarray(plan.i3)
+    A = utr.shape[0]
+
+    a_r, a_i = utr[:, i1], uti[:, i1]          # (A, nterms)
+    b_r, b_i = utr[:, i2], uti[:, i2]
+    c_r, c_i = utr[:, i3], uti[:, i3]
+    ab_r = a_r * b_r - a_i * b_i
+    ab_i = a_r * b_i + a_i * b_r
+    # Re[(u1*u2) * conj(u3)]
+    re = ab_r * c_r + ab_i * c_i               # (A, nterms)
+    mm = jnp.asarray(plan.mmat, utr.dtype)
+    re = re.reshape(A, plan.nblocks, -1)
+    B = jnp.einsum("abk,kt->abt", re, mm).reshape(A, plan.nb_base)
+    if plan.bzeroflag:
+        B = B - jnp.asarray(plan.bzero, utr.dtype)[None, :]
+    return B
+
+
+def _quad_extend(B, plan):
+    if not plan.quadraticflag:
+        return B
+    q = B[..., jnp.asarray(plan.iq1)] * B[..., jnp.asarray(plan.iq2)]
+    q = q * jnp.asarray(plan.qcoef, B.dtype)
+    return jnp.concatenate([B, q], axis=-1)
+
+
+def atom_descriptors(disp, jelem, mask, ielem, p: SnapParams):
+    """Per-atom SNAP descriptor vector, including the quadratic extension.
+
+    Returns (A, ncoeff) where ncoeff matches the reference
+    `BISPECTRUM.ncoeff` (`bispectrum.py:118`).
+    """
+    utr, uti = compute_utot(disp, jelem, mask, ielem, p)
+    B = bispectrum_from_utot(utr, uti, p.plan)
+    return _quad_extend(B, p.plan)
+
+
+# ---------------------------------------------------------------------------
+# Factorized derivatives: dB/dD = dB/dutot . d(utot)/dD.
+#
+# The LAMMPS dgrad path (compute snap dgradflag=1) materializes per-pair
+# descriptor gradients; here the same quantity is the product of a small
+# per-atom jacobian (next x 2U, via jacrev of the CG contraction only) with
+# per-pair U tangents (3 forward-mode passes), contracted with one batched
+# matmul that maps onto the MXU.  This is ~(3 + small) forward passes total
+# instead of `width` reverse passes through the whole kernel.
+# ---------------------------------------------------------------------------
+
+
+def _pair_wu(disp, jelem, mask, ielem, p: SnapParams):
+    """Per-pair weighted U expansion, flattened real|imag: (A, K, 2U)."""
+    dtype = disp.dtype
+    plan = p.plan
+    radelem = jnp.asarray(p.radelem, dtype)
+    wjel = jnp.asarray(p.wj, dtype)
+    safe = jnp.where(mask[..., None], disp, jnp.array([1.0, 0.0, 0.0], dtype))
+    x, y, z = safe[..., 0], safe[..., 1], safe[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    rcutij = (radelem[ielem][:, None] + radelem[jelem]) * p.rcutfac
+    theta0 = (r - p.rmin0) * (p.rfac0 * jnp.pi) / (rcutij - p.rmin0)
+    z0 = r / jnp.tan(theta0)
+    r0inv = 1.0 / jnp.sqrt(r * r + z0 * z0)
+    ar, ai = r0inv * z0, -r0inv * z
+    br, bi = r0inv * y, -r0inv * x
+    sinnerij = dinnerij = None
+    if p.switchinnerflag:
+        sin_el = jnp.asarray(p.sinner, dtype)
+        din_el = jnp.asarray(p.dinner, dtype)
+        sinnerij = 0.5 * (sin_el[ielem][:, None] + sin_el[jelem])
+        dinnerij = 0.5 * (din_el[ielem][:, None] + din_el[jelem])
+    sfac = compute_sfac(r, rcutij, p.rmin0, p.switchflag,
+                        sinnerij, dinnerij, p.switchinnerflag)
+    w = jnp.where(mask, sfac * wjel[jelem], jnp.zeros_like(r))
+    u = compute_ulist(ar, ai, br, bi, plan.twojmax)
+    ur, ui = flatten_ulist(u)
+    wu = jnp.concatenate([w[..., None] * ur, w[..., None] * ui], axis=-1)
+    return wu
+
+
+def _utot_from_wu(wu, jelem, ielem, p: SnapParams):
+    """Sum pair contributions into (A, nchem*2U) [channels: (chem, reim*U)]."""
+    plan = p.plan
+    dtype = wu.dtype
+    nchem = plan.nelements if plan.chemflag else 1
+    if nchem == 1:
+        ut = wu.sum(axis=1)                        # (A, 2U)
+    else:
+        oh = jax.nn.one_hot(jelem, nchem, dtype=dtype)
+        ut = jnp.einsum("akc,aku->acu", oh, wu).reshape(wu.shape[0], -1)
+    # self term (constant; real diagonal)
+    self_idx = jnp.asarray(plan.self_idx)
+    selfvec = jnp.zeros((2 * plan.u_len,), dtype).at[self_idx].set(p.wself)
+    if nchem == 1:
+        return ut + selfvec[None, :]
+    if plan.wselfallflag:
+        return ut + jnp.tile(selfvec, nchem)[None, :]
+    ohi = jax.nn.one_hot(ielem, nchem, dtype=dtype)
+    return ut + (ohi[:, :, None] * selfvec[None, None, :]).reshape(ut.shape[0], -1)
+
+
+def _bext_single(ut, plan: SnapPlan):
+    """Descriptor vector for ONE atom from flattened utot (nchem*2U,)."""
+    nchem = plan.nelements if plan.chemflag else 1
+    u2 = ut.reshape(nchem, 2, plan.u_len)
+    tr = u2[:, 0, :].reshape(-1)
+    ti = u2[:, 1, :].reshape(-1)
+    i1 = jnp.asarray(plan.i1)
+    i2 = jnp.asarray(plan.i2)
+    i3 = jnp.asarray(plan.i3)
+    a_r, a_i = tr[i1], ti[i1]
+    b_r, b_i = tr[i2], ti[i2]
+    c_r, c_i = tr[i3], ti[i3]
+    ab_r = a_r * b_r - a_i * b_i
+    ab_i = a_r * b_i + a_i * b_r
+    re = ab_r * c_r + ab_i * c_i
+    mm = jnp.asarray(plan.mmat, ut.dtype)
+    B = (re.reshape(plan.nblocks, -1) @ mm).reshape(plan.nb_base)
+    if plan.bzeroflag:
+        B = B - jnp.asarray(plan.bzero, ut.dtype)
+    return _quad_extend(B, plan)
+
+
+def _compute_zcat(ut, plan: SnapPlan):
+    """Flattened z-lists for all idxz triples via dense CG einsums.
+
+    ut: (A, 2U).  Returns (z_r, z_i): (A, nzflat) where the layout follows
+    the plan's z-triple enumeration with full (mb, ma) grids.  Each triple is
+    a pair of small batched GEMMs against its dense CG tensor — the
+    TestSNAP-style decomposition that keeps the MXU busy instead of doing
+    sparse gathers.
+    """
+    dtype = ut.dtype
+    A = ut.shape[0]
+    U = plan.u_len
+    utr, uti = ut[:, :U], ut[:, U:]
+    off = plan.u_offsets
+
+    ubr = [utr[:, off[j]:off[j] + (j + 1) ** 2].reshape(A, j + 1, j + 1)
+           for j in range(plan.twojmax + 1)]
+    ubi = [uti[:, off[j]:off[j] + (j + 1) ** 2].reshape(A, j + 1, j + 1)
+           for j in range(plan.twojmax + 1)]
+
+    zr_parts, zi_parts = [], []
+    for (j1, j2, j, C, bnorm) in plan.z_dense:
+        Cj = jnp.asarray(C, dtype)
+        u1r, u1i = ubr[j1], ubi[j1]           # (A, j1+1, j1+1) [mb1, ma1]
+        u2r, u2i = ubr[j2], ubi[j2]           # (A, j2+1, j2+1) [mb2, ma2]
+        # t1[c, m, b? ] := sum_k u2[c, k] C[m, j, k] -> (A, mb2, ma, ma1)
+        t1r = jnp.einsum("ack,mjk->acmj", u2r, Cj)
+        t1i = jnp.einsum("ack,mjk->acmj", u2i, Cj)
+        # t2[b, c, m] := sum_j u1[b, j] t1[c, m, j] -> (A, mb1, mb2, ma)
+        t2r = jnp.einsum("abj,acmj->abcm", u1r, t1r) \
+            - jnp.einsum("abj,acmj->abcm", u1i, t1i)
+        t2i = jnp.einsum("abj,acmj->abcm", u1r, t1i) \
+            + jnp.einsum("abj,acmj->abcm", u1i, t1r)
+        # z[n, m] := sum_{b,c} C[n, b, c] t2[b, c, m] -> (A, mb, ma)
+        zr = jnp.einsum("nbc,abcm->anm", Cj, t2r)
+        zi = jnp.einsum("nbc,abcm->anm", Cj, t2i)
+        if bnorm != 1.0:
+            zr = zr * bnorm
+            zi = zi * bnorm
+        zr_parts.append(zr.reshape(A, -1))
+        zi_parts.append(zi.reshape(A, -1))
+    return jnp.concatenate(zr_parts, -1), jnp.concatenate(zi_parts, -1)
+
+
+def _dbdu_ylist(ut, plan: SnapPlan, zcat=None):
+    """Analytic dB_base/dutot for the single-channel case.
+
+    Uses the LAMMPS `compute_dbidrj` identity: the jacobian of B(J1,J2,J)
+    w.r.t. utot is the z-list evaluated at (J1,J2,J), (J,J2,J1), (J,J1,J2)
+    with multiplicity factors — gathered from the dense z values (no
+    scatter, no autodiff), batched over atoms.
+
+    ut: (A, 2U).  Returns (A, ntriples, 2U).
+    """
+    dtype = ut.dtype
+    U = plan.u_len
+    z_r, z_i = zcat if zcat is not None else _compute_zcat(ut, plan)
+    src = jnp.asarray(plan.y_src)                   # (3, ntrip, U)
+    fac = jnp.asarray(plan.y_fac, dtype)
+    y_r = jnp.zeros((ut.shape[0], plan.ntriples, U), dtype)
+    y_i = jnp.zeros_like(y_r)
+    for layer in range(3):
+        y_r = y_r + fac[layer] * z_r[:, src[layer]]
+        y_i = y_i + fac[layer] * z_i[:, src[layer]]
+    # d/du_r = z_r, d/du_i = z_i (contraction is Re[conj(du) z])
+    return jnp.concatenate([y_r, y_i], axis=-1)     # (A, ntrip, 2U)
+
+
+def descriptors_with_jacobian(disp, jelem, mask, ielem, p: SnapParams):
+    """Per-atom descriptors and their per-pair gradients.
+
+    Returns:
+      B:    (A, next) descriptor vectors
+      dBdD: (A, next, K, 3) = d B[a] / d disp[a, k, c]  (the dgrad tensor;
+            gradients w.r.t. other atoms follow from minus-scatter since
+            disp[a, k] = x_neighbor - x_a).
+    """
+    plan = p.plan
+    nchem = plan.nelements if plan.chemflag else 1
+
+    f = lambda d: _pair_wu(d, jelem, mask, ielem, p)
+    wu = f(disp)                                    # (A, K, 2U)
+    eye = jnp.eye(3, dtype=disp.dtype)
+    tangents = jnp.broadcast_to(eye[:, None, None, :],
+                                (3,) + disp.shape)
+    J = jax.vmap(lambda t: jax.jvp(f, (disp,), (t,))[1])(tangents)
+    # J: (3, A, K, 2U) per-pair tangents of the weighted U expansion
+
+    ut = _utot_from_wu(wu, jelem, ielem, p)         # (A, nchem*2U)
+
+    if nchem == 1:
+        zcat = _compute_zcat(ut, plan)
+        dBdu = _dbdu_ylist(ut, plan, zcat)          # (A, ntrip, 2U)
+        # B_t = Re[conj(u) . z(J1,J2,J)] over the u_J block = contraction of
+        # utot with the fac=1 layer of the y-list.
+        z_r, z_i = zcat
+        src0 = jnp.asarray(plan.y_src[0])
+        fac0 = jnp.asarray(plan.y_fac[0], disp.dtype)
+        U = plan.u_len
+        Bbase = (jnp.einsum("au,atu->at", ut[:, :U], fac0 * z_r[:, src0])
+                 + jnp.einsum("au,atu->at", ut[:, U:], fac0 * z_i[:, src0]))
+        if plan.bzeroflag:
+            Bbase = Bbase - jnp.asarray(plan.bzero, disp.dtype)[None, :]
+        if plan.quadraticflag:
+            B, dBdu = _quad_chain(Bbase, dBdu, plan)
+        else:
+            B = Bbase
+        dBdD = jnp.einsum("awu,caku->awkc", dBdu, J)
+    else:
+        # chemflag path: per-atom jacobian of the contraction via jacrev
+        # (correct for element-channel structure; slower — optimized later
+        # with permuted-element z-lists).
+        bext = lambda u: _bext_single(u, plan)
+        B = jax.vmap(bext)(ut)
+        dBdu = jax.vmap(jax.jacrev(bext))(ut)       # (A, next, nchem*2U)
+        dBduc = dBdu.reshape(dBdu.shape[0], dBdu.shape[1], nchem,
+                             2 * plan.u_len)
+        oh = jax.nn.one_hot(jelem, nchem, dtype=disp.dtype)   # (A, K, nchem)
+        dBdD = jnp.einsum("awnu,akn,caku->awkc", dBduc, oh, J)
+    return B, dBdD
+
+
+def _bspec_rows(ut, plan: SnapPlan):
+    """Base bispectrum from flattened (A, 2U) utot (single channel)."""
+    U = plan.u_len
+    B = bispectrum_from_utot(ut[:, :U], ut[:, U:], plan)
+    return B
+
+
+def _quad_chain(B, dBdu, plan: SnapPlan):
+    """Quadratic extension of descriptors and jacobians (product rule)."""
+    iq1 = jnp.asarray(plan.iq1)
+    iq2 = jnp.asarray(plan.iq2)
+    qc = jnp.asarray(plan.qcoef, B.dtype)
+    q = B[:, iq1] * B[:, iq2] * qc
+    dq = qc[None, :, None] * (B[:, iq1, None] * dBdu[:, iq2]
+                              + B[:, iq2, None] * dBdu[:, iq1])
+    return (jnp.concatenate([B, q], -1),
+            jnp.concatenate([dBdu, dq], 1))

@@ -1,0 +1,28 @@
+"""SVD (least-squares) solver, parity with reference `solvers/svd.py`.
+
+Solves the weighted system with an SVD-based lstsq at singular-value cutoff
+1e-13.  A device (TPU) path via normal equations is provided by
+`fitsnap_tpu.parallel.linalg` and used by the distributed fitting entry
+point; this host path is the float64 parity oracle.
+"""
+
+import numpy as np
+
+from fitsnap_tpu.solvers.solver import Solver
+
+
+class SVD(Solver):
+    def perform_fit(self, a=None, b=None, w=None, fs_dict=None, trainall=False):
+        if fs_dict is not None and not trainall:
+            training = np.array([not t for t in fs_dict["Testing"]])
+        else:
+            training = np.ones(a.shape[0], bool)
+        wt = w[training]
+        aw, bw = wt[:, None] * a[training], wt * b[training]
+        extras = self.config.sections.get("EXTRAS") if self.config else None
+        if extras is not None and extras.apply_transpose:
+            if np.linalg.cond(aw) ** 2 < 1 / np.finfo(aw.dtype).eps:
+                bw = aw.T @ bw
+                aw = aw.T @ aw
+        self.fit, _, _, _ = np.linalg.lstsq(aw, bw, rcond=1.0e-13)
+        return self.fit

@@ -1,0 +1,29 @@
+"""Shared JAX runtime setup: persistent compilation cache.
+
+Bucketed descriptor kernels compile one executable per (A, K, chunk) shape;
+the persistent cache makes repeat runs (tests, CLI invocations) skip XLA
+compilation entirely.
+"""
+
+import os
+
+import jax
+
+_DONE = False
+
+
+def setup_cache():
+    global _DONE
+    if _DONE:
+        return
+    cache_dir = os.environ.get(
+        "FITSNAP_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "fitsnap_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    _DONE = True

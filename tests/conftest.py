@@ -1,0 +1,31 @@
+"""Test configuration: force CPU backend with float64 before jax import.
+
+Parity tests (vs the reference's committed golden outputs) need float64; the
+virtual 8-device mesh exercises the multi-chip sharding path without TPUs.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE.exists()
