@@ -20,6 +20,9 @@ def setup_cache():
         "FITSNAP_TPU_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "fitsnap_tpu_xla"))
     try:
+        # namespace by backend: AOT executables are machine-specific and the
+        # remote-compile TPU service must not share entries with host CPU
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

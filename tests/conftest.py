@@ -6,7 +6,9 @@ virtual 8-device mesh exercises the multi-chip sharding path without TPUs.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment points JAX_PLATFORMS at the remote TPU
+# tunnel ("axon"), which would route every test op over the network.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env-var alone does not win over the axon PJRT plugin registered by the
+# image's sitecustomize; the config knob does.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import sys
