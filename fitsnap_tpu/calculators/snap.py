@@ -97,6 +97,18 @@ class SnapCalculator:
             data=data,
         )
 
+    def host_preprocess(self, data: list):
+        """Pack configs and build host-side neighbor lists + shape buckets."""
+        packed = [self._pack(d) for d in data]
+        buckets = {}
+        for idx, pc in enumerate(packed):
+            disp, jidx, mask, kmax = host_neighbors(
+                pc.pos, pc.cell, pc.natoms, self.cutoff)
+            pc.disp, pc.jidx, pc.mask, pc.kcount = disp, jidx, mask, kmax
+            key = (_pad_to(pc.natoms, _A_BUCKETS), _pad_to(kmax, _K_BUCKETS))
+            buckets.setdefault(key, []).append(idx)
+        return packed, buckets
+
     # ---------------- device function ----------------
 
     def _rows_fn(self, a_pad, k_pad, dtype):
@@ -161,14 +173,7 @@ class SnapCalculator:
         """
         calc = self.config.sections["CALCULATOR"]
         sec = self.sec
-        packed = [self._pack(d) for d in data]
-        buckets = {}
-        for idx, pc in enumerate(packed):
-            disp, jidx, mask, kmax = host_neighbors(
-                pc.pos, pc.cell, pc.natoms, self.cutoff)
-            pc.disp, pc.jidx, pc.mask, pc.kcount = disp, jidx, mask, kmax
-            key = (_pad_to(pc.natoms, _A_BUCKETS), _pad_to(kmax, _K_BUCKETS))
-            buckets.setdefault(key, []).append(idx)
+        packed, buckets = self.host_preprocess(data)
 
         results = [None] * len(packed)
         for (a_pad, k_pad), idxs in buckets.items():

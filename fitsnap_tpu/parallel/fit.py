@@ -1,0 +1,398 @@
+"""Multi-chip distributed linear fitting over a JAX device mesh.
+
+TPU-native replacement for the reference's MPI/ScaLAPACK machinery
+(`fitsnap3lib/parallel_tools.py`, `solvers/scalapack.py`,
+`lib/scalapack_solver/scalapack.pyx`):
+
+  - configurations are data-parallel over the mesh's 'dp' axis (the
+    reference stride-splits configs across MPI ranks, `scrape.py:203`);
+  - each device turns its configs into weighted rows and accumulates the
+    normal equations A^T A / A^T b locally (the reference's optional
+    "transpose trick", `solvers/svd.py:48`, is the *default* here because it
+    shrinks the collective to width^2);
+  - one `psum` over ICI reduces the normal equations; the dense solve is
+    replicated (width is small: tens to a few thousand).
+
+No shared-memory windows, no row-range bookkeeping, no BLACS grids: the
+sharded array axis plus one collective expresses the whole thing.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fitsnap_tpu.ops.refpot import reference_eav
+from fitsnap_tpu.ops.snap import descriptors_with_jacobian
+
+
+def make_mesh(n_devices=None, devices=None):
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), axis_names=("dp",))
+
+
+def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
+                          energy, forces, stress6, eweight, fweight, vweight,
+                          params, numtypes, flags, refspec=None, coeff=None,
+                          with_ata=True, accum_dtype=None):
+    """Weighted normal-equation contribution of ONE padded config.
+
+    Returns (AtA (W, W), Atb (W,), nrows scalar).  Padded configs
+    (natoms == 0) contribute zero.  With `coeff` given, truths are replaced
+    by residuals truth - row.coeff — the mixed-precision iterative
+    refinement pass (residuals are small, so f32 rows retain full relative
+    accuracy where the directly-formed normal equations cannot).
+    """
+    A = disp.shape[0]
+    dtp = disp.dtype
+    radelem = jnp.asarray(params.radelem, dtp)
+    rcutij = (radelem[types][:, None] + radelem[types[jidx]]) * params.rcutfac
+    r2 = jnp.sum(disp * disp, -1)
+    smask = mask & (r2 < rcutij * rcutij)
+    jelem = types[jidx]
+    real = (jnp.arange(A) < natoms).astype(dtp)
+
+    B, G = descriptors_with_jacobian(disp, jelem, smask, types, params)
+    B = B * real[:, None]
+    G = G * real[:, None, None, None]
+
+    oh = jax.nn.one_hot(types, numtypes, dtype=dtp) * real[:, None]
+    nat_safe = jnp.maximum(natoms, 1).astype(dtp)
+    e_row = (oh.T @ B).reshape(-1) / nat_safe
+
+    GT = jnp.einsum("at,awkc->takwc", oh, G)
+    W0 = e_row.shape[0]
+    oj = jax.nn.one_hot(jidx, A, dtype=dtp)
+    scat = jnp.einsum("ikn,tikwc->ntwc", oj, GT).reshape(A, W0, 3)
+    rowsum = GT.sum(axis=2).transpose(1, 0, 2, 3).reshape(A, W0, 3)
+    f_rows = -(scat - rowsum).transpose(0, 2, 1).reshape(A * 3, W0)
+
+    vol = cell[0, 0] * cell[1, 1] * cell[2, 2]
+    pa = jnp.array([0, 1, 2, 1, 0, 0])
+    pb = jnp.array([0, 1, 2, 2, 2, 1])
+    dm = disp * smask[..., None].astype(dtp)
+    vir = -jnp.einsum("ikx,tikwy->xytw", dm, GT).reshape(3, 3, W0)
+    v_rows = vir[pa, pb] * (1.6021765e6 / vol)
+
+    if not params.plan.bzeroflag:
+        # per-type constant column (atom-count fraction on energy rows,
+        # zero elsewhere) — `lammps_snap.py:455-464`
+        ncoeff = W0 // numtypes
+        counts = oh.sum(0) / nat_safe                       # (T,)
+        e_row = jnp.concatenate(
+            [counts[:, None], e_row.reshape(numtypes, ncoeff)],
+            axis=1).reshape(-1)
+        f_rows = jnp.concatenate(
+            [jnp.zeros((A * 3, numtypes, 1), dtp),
+             f_rows.reshape(A * 3, numtypes, ncoeff)], axis=2) \
+            .reshape(A * 3, -1)
+        v_rows = jnp.concatenate(
+            [jnp.zeros((6, numtypes, 1), dtp),
+             v_rows.reshape(6, numtypes, ncoeff)], axis=2).reshape(6, -1)
+
+    if refspec is not None:
+        re_, rf_, rv_ = reference_eav(disp, jidx, mask, types, natoms, refspec)
+        energy = energy - re_
+        forces = forces - rf_
+        stress6 = stress6 - rv_ * (1.6021765e6 / vol)
+
+    live = (natoms > 0).astype(dtp)
+    W = e_row.shape[0]
+    # Accumulate the normal equations at higher precision than the rows:
+    # descriptor FLOPs stay f32 on the MXU, the W^2-sized outer products are
+    # a negligible FLOP fraction and f64 emulation on TPU is cheap there.
+    adt = accum_dtype or dtp
+    AtA = jnp.zeros((W, W), adt)
+    Atb = jnp.zeros((W,), adt)
+    nrows = jnp.zeros((), dtp)
+    if flags["energy"]:
+        we = (eweight * live).astype(adt)
+        b_e = energy / nat_safe
+        if coeff is not None:
+            b_e = b_e - e_row @ coeff
+        e64 = e_row.astype(adt)
+        if with_ata:
+            AtA += we ** 2 * jnp.outer(e64, e64)
+        Atb += we ** 2 * e64 * b_e.astype(adt)
+        nrows += live
+    if flags["force"]:
+        frow_mask = jnp.repeat(real, 3)
+        wf = (fweight * frow_mask * live).astype(adt)
+        f64r = f_rows.astype(adt)
+        fw = f64r * wf[:, None]
+        b_f = forces.reshape(-1)
+        if coeff is not None:
+            b_f = b_f - f_rows @ coeff
+        if with_ata:
+            AtA += fw.T @ fw
+        Atb += fw.T @ (wf * b_f.astype(adt))
+        nrows += 3 * natoms * live
+    if flags["stress"]:
+        wv = (vweight * live).astype(adt)
+        v64 = v_rows.astype(adt)
+        vw = v64 * wv
+        b_v = stress6
+        if coeff is not None:
+            b_v = b_v - v_rows @ coeff
+        if with_ata:
+            AtA += vw.T @ vw
+        Atb += vw.T @ (wv * b_v.astype(adt))
+        nrows += 6 * live
+    return AtA, Atb, nrows
+
+
+def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None):
+    """Jitted sharded 'training step': batch of configs -> coefficients.
+
+    Batch arrays have shape (nchunks, per_chunk, ...) with the per-chunk
+    axis sharded over mesh axis 'dp'; a `lax.scan` over chunks bounds HBM
+    (the full per-pair U tangents of all configs would not fit), the normal
+    equations reduce over ICI via the sharding-induced psum, and the
+    Cholesky solve is replicated.
+    """
+    dp = NamedSharding(mesh, P(None, "dp"))
+    repl = NamedSharding(mesh, P())
+
+    def step(batch):
+        accum = jnp.float64 if jax.config.jax_enable_x64 else None
+        contrib = jax.vmap(partial(config_normal_contrib,
+                                   params=params, numtypes=numtypes,
+                                   flags=flags, refspec=refspec,
+                                   accum_dtype=accum))
+
+        W = numtypes * params.plan.ncoeff
+        if not params.plan.bzeroflag:
+            W += numtypes
+        dtp = batch[0].dtype
+
+        def body(carry, chunk):
+            AtA, Atb, nrows = carry
+            a, b, n = contrib(*chunk)
+            return (AtA + a.sum(0), Atb + b.sum(0), nrows + n.sum()), None
+
+        adt = accum or dtp
+        init = (jnp.zeros((W, W), adt), jnp.zeros((W,), adt),
+                jnp.zeros((), dtp))
+        (AtA, Atb, nrows), _ = jax.lax.scan(body, init, batch)
+        # f64 device->host transfers are pathologically slow through the
+        # remote-TPU relay (the X64-rewrite buffers convert per element), so
+        # emit hi/lo f32 pairs and recombine on host.
+        if adt == jnp.float64 and jax.default_backend() == "tpu":
+            flat = AtA.reshape(-1)
+            a_hi = flat.astype(jnp.float32)
+            a_lo = (flat - a_hi.astype(jnp.float64)).astype(jnp.float32)
+            b_hi = Atb.astype(jnp.float32)
+            b_lo = (Atb - b_hi.astype(jnp.float64)).astype(jnp.float32)
+            return (a_hi, a_lo), (b_hi, b_lo), nrows
+        return (AtA.reshape(-1),), (Atb,), nrows
+
+    in_shardings = ((dp,) * 12,)
+    jitted = jax.jit(step, in_shardings=in_shardings,
+                     out_shardings=(repl, repl, repl))
+
+    def wrapped(batch):
+        a_parts, b_parts, nrows = jitted(batch)
+        AtA = sum(np.asarray(x, np.float64) for x in a_parts)
+        Atb = sum(np.asarray(x, np.float64) for x in b_parts)
+        return AtA, Atb, nrows
+
+    return wrapped
+
+
+def build_residual_fn(params, numtypes, flags, mesh, refspec=None):
+    """Jitted sharded refinement pass: A^T (b - A x), truths through rows.
+
+    One or two of these after the direct solve recover near-f64 fit quality
+    from f32 device rows (mixed-precision iterative refinement on the
+    normal equations).
+    """
+    dp = NamedSharding(mesh, P(None, "dp"))
+    repl = NamedSharding(mesh, P())
+
+    def res(coeff, batch):
+        def contrib1(*chunk_cols):
+            return config_normal_contrib(
+                *chunk_cols, params=params, numtypes=numtypes, flags=flags,
+                refspec=refspec, coeff=coeff, with_ata=False)
+
+        contrib = jax.vmap(contrib1)
+
+        W = coeff.shape[0]
+        dtp = batch[0].dtype
+
+        def body(Atr, chunk):
+            _, b, _ = contrib(*chunk)
+            return Atr + b.sum(0), None
+
+        Atr, _ = jax.lax.scan(body, jnp.zeros((W,), dtp), batch)
+        return Atr
+
+    return jax.jit(res, in_shardings=(repl, (dp,) * 12),
+                   out_shardings=repl)
+
+
+class NormalSolver:
+    """Host float64 solve of device-accumulated normal equations.
+
+    Column equilibration + eigh pseudo-inverse mirror lstsq's relative
+    rcond cutoff; the factorization is kept so iterative-refinement deltas
+    reuse it.
+    """
+
+    def __init__(self, AtA, ridge=0.0, rcond_factor=10.0):
+        self.eps = float(np.finfo(np.asarray(AtA).dtype).eps)
+        AtA = np.asarray(AtA, np.float64)
+        if AtA.ndim == 1:
+            W = int(round(AtA.size ** 0.5))
+            AtA = AtA.reshape(W, W)
+        W = AtA.shape[0]
+        AtA = AtA + ridge * np.eye(W)
+        self.AtA = AtA
+        self.d = np.sqrt(np.clip(np.diag(AtA), 1e-300, None))
+        An = AtA / self.d[:, None] / self.d[None, :]
+        self.evals, self.evecs = np.linalg.eigh(An)
+        self.inv = np.where(
+            self.evals > rcond_factor * self.eps * self.evals[-1],
+            1.0 / np.where(self.evals == 0, 1.0, self.evals), 0.0)
+
+    def solve(self, rhs):
+        bn = np.asarray(rhs, np.float64) / self.d
+        return (self.evecs @ (self.inv * (self.evecs.T @ bn))) / self.d
+
+
+def fit_refined(step_fn, residual_fn, batch, ridge=0.0, refine_iters=2):
+    """Direct normal-equation solve + iterative refinement through rows."""
+    import jax
+
+    AtA, Atb, nrows = step_fn(batch)
+    solver = NormalSolver(AtA, ridge=ridge)
+    x = solver.solve(Atb)
+    dtp = np.asarray(Atb).dtype
+    for _ in range(refine_iters):
+        Atr = residual_fn(jnp.asarray(x, dtp), batch)
+        x = x + solver.solve(np.asarray(Atr, np.float64))
+    return x, solver, float(np.asarray(nrows))
+
+
+def build_eval_fn(params, numtypes, flags, mesh, refspec=None):
+    """Jitted sharded evaluation: unweighted energy/force MAE of a fit.
+
+    Returns (sum_abs_e_res, n_e, sum_abs_f_res, n_f) — MAE in the
+    reference's metric convention (energies per atom, `solver.py:108`).
+    """
+    dp = NamedSharding(mesh, P(None, "dp"))
+    repl = NamedSharding(mesh, P())
+
+    def one(coeff, disp, jidx, mask, types, natoms, cell,
+            energy, forces, stress6, ew, fw, vw):
+        A = disp.shape[0]
+        dtp = disp.dtype
+        radelem = jnp.asarray(params.radelem, dtp)
+        rcutij = (radelem[types][:, None] + radelem[types[jidx]]) \
+            * params.rcutfac
+        r2 = jnp.sum(disp * disp, -1)
+        smask = mask & (r2 < rcutij * rcutij)
+        jelem = types[jidx]
+        real = (jnp.arange(A) < natoms).astype(dtp)
+        B, G = descriptors_with_jacobian(disp, jelem, smask, types, params)
+        B = B * real[:, None]
+        G = G * real[:, None, None, None]
+        oh = jax.nn.one_hot(types, numtypes, dtype=dtp) * real[:, None]
+        nat_safe = jnp.maximum(natoms, 1).astype(dtp)
+        e_row = (oh.T @ B).reshape(-1) / nat_safe
+        GT = jnp.einsum("at,awkc->takwc", oh, G)
+        W0 = e_row.shape[0]
+        oj = jax.nn.one_hot(jidx, A, dtype=dtp)
+        scat = jnp.einsum("ikn,tikwc->ntwc", oj, GT).reshape(A, W0, 3)
+        rowsum = GT.sum(axis=2).transpose(1, 0, 2, 3).reshape(A, W0, 3)
+        f_rows = -(scat - rowsum).transpose(0, 2, 1).reshape(A * 3, W0)
+        if refspec is not None:
+            re_, rf_, rv_ = reference_eav(disp, jidx, mask, types, natoms,
+                                          refspec)
+            energy = energy - re_
+            forces = forces - rf_
+        if not params.plan.bzeroflag:
+            ncoeff = W0 // numtypes
+            counts = oh.sum(0) / nat_safe
+            e_row = jnp.concatenate(
+                [counts[:, None], e_row.reshape(numtypes, ncoeff)],
+                axis=1).reshape(-1)
+            f_rows = jnp.concatenate(
+                [jnp.zeros((A * 3, numtypes, 1), dtp),
+                 f_rows.reshape(A * 3, numtypes, ncoeff)], axis=2) \
+                .reshape(A * 3, -1)
+        live = (natoms > 0).astype(dtp)
+        e_res = jnp.abs(e_row @ coeff - energy / nat_safe) * live
+        frow_mask = jnp.repeat(real, 3) * live
+        f_res = jnp.abs(f_rows @ coeff - forces.reshape(-1)) * frow_mask
+        return e_res, live, f_res.sum(), frow_mask.sum()
+
+    def evaluate(coeff, batch):
+        ev = jax.vmap(partial(one))
+        def body(carry, chunk):
+            se, ne, sf, nf = carry
+            e_res, live, f_sum, f_n = ev(jnp.broadcast_to(
+                coeff, (chunk[0].shape[0],) + coeff.shape), *chunk)
+            return (se + e_res.sum(), ne + live.sum(),
+                    sf + f_sum.sum(), nf + f_n.sum()), None
+        z = jnp.zeros((), batch[0].dtype)
+        (se, ne, sf, nf), _ = jax.lax.scan(body, (z, z, z, z), batch)
+        return se, ne, sf, nf
+
+    return jax.jit(evaluate, in_shardings=(repl, (dp,) * 12),
+                   out_shardings=(repl,) * 4)
+
+
+def pack_batch(packed_configs, a_pad, k_pad, n_pad, dtype=np.float32,
+               chunks=1):
+    """Stack host-preprocessed configs into the sharded-step batch tuple.
+
+    With `chunks` > 1, each array is reshaped to (chunks, n_pad/chunks, ...)
+    for the scan-chunked step function.
+    """
+    n = n_pad
+    disp = np.zeros((n, a_pad, k_pad, 3), dtype)
+    jidx = np.zeros((n, a_pad, k_pad), np.int32)
+    mask = np.zeros((n, a_pad, k_pad), bool)
+    types = np.zeros((n, a_pad), np.int32)
+    nat = np.zeros((n,), np.int32)
+    cell = np.eye(3, dtype=dtype)[None].repeat(n, 0)
+    energy = np.zeros((n,), dtype)
+    forces = np.zeros((n, a_pad, 3), dtype)
+    stress6 = np.zeros((n, 6), dtype)
+    ew = np.zeros((n,), dtype)
+    fw = np.zeros((n,), dtype)
+    vw = np.zeros((n,), dtype)
+    for j, pc in enumerate(packed_configs):
+        na, kc = pc.natoms, pc.kcount
+        disp[j, :na, :kc] = pc.disp[:, :kc]
+        jidx[j, :na, :kc] = pc.jidx[:, :kc]
+        mask[j, :na, :kc] = pc.mask[:, :kc]
+        types[j, :na] = pc.types
+        nat[j] = na
+        cell[j] = pc.cell
+        d = pc.data
+        energy[j] = d.get("Energy", 0.0)
+        fo = d.get("Forces")
+        if fo is not None:
+            forces[j, :na] = fo
+        st = d.get("Stress")
+        if st is not None:
+            st = np.asarray(st)
+            stress6[j] = st[[0, 1, 2, 1, 0, 0], [0, 1, 2, 2, 2, 1]]
+        ew[j] = d.get("eweight", 1.0)
+        fw[j] = d.get("fweight", 1.0)
+        vw[j] = d.get("vweight", 1.0)
+    out = (disp, jidx, mask, types, nat, cell, energy, forces, stress6,
+           ew, fw, vw)
+    if chunks > 1:
+        assert n % chunks == 0
+        out = tuple(x.reshape((chunks, n // chunks) + x.shape[1:])
+                    for x in out)
+    else:
+        out = tuple(x[None] for x in out)
+    return out
