@@ -46,13 +46,13 @@ def _solver_factory(config):
     name = config.sections["SOLVER"].solver.upper()
     linear = {
         "SVD": "fitsnap_tpu.solvers.svd:SVD",
-        "RIDGE": "fitsnap_tpu.solvers.ridge:Ridge",
-        "LASSO": "fitsnap_tpu.solvers.lasso:Lasso",
-        "ARD": "fitsnap_tpu.solvers.ard:ARD",
-        "ANL": "fitsnap_tpu.solvers.anl:ANL",
-        "BCS": "fitsnap_tpu.solvers.bcs:BCS",
-        "MCMC": "fitsnap_tpu.solvers.mcmc:MCMC",
-        "OPT": "fitsnap_tpu.solvers.opt:OPT",
+        "RIDGE": "fitsnap_tpu.solvers.linear:Ridge",
+        "LASSO": "fitsnap_tpu.solvers.linear:Lasso",
+        "ARD": "fitsnap_tpu.solvers.linear:ARD",
+        "ANL": "fitsnap_tpu.solvers.linear:ANL",
+        "BCS": "fitsnap_tpu.solvers.linear:BCS",
+        "MCMC": "fitsnap_tpu.solvers.linear:MCMC",
+        "OPT": "fitsnap_tpu.solvers.linear:OPT",
         "MERR": "fitsnap_tpu.solvers.merr:MERR",
         "TPUSVD": "fitsnap_tpu.solvers.tpu_svd:TpuSVD",
         "SCALAPACK": "fitsnap_tpu.solvers.tpu_svd:TpuSVD",  # distributed solve
