@@ -108,6 +108,15 @@ class FitSnap:
     def process_configs(self, data=None, delete_data: bool = False):
         t0 = time.time()
         data = data if data is not None else self.data
+        if self.config.sections["CALCULATOR"].nonlinear:
+            # NN path: precompute per-atom descriptors + dgrad on device;
+            # no materialized A matrix (reference nonlinear layout,
+            # `calculators/calculator.py:87`)
+            self.solver.prepare_dataset(self.calculator, data)
+            self.timings["process"] = time.time() - t0
+            if delete_data:
+                self.data = None
+            return
         self.a, self.b, self.w, self.fs_dict = \
             self.calculator.process_configs(data)
         self.timings["process"] = time.time() - t0
@@ -129,6 +138,9 @@ class FitSnap:
         elif self.config.sections["EXTRAS"].only_test:
             self.fit = self.output.read_fit()
             self.solver.fit = self.fit
+        elif self.config.sections["CALCULATOR"].nonlinear:
+            self.solver.perform_fit(calculator=self.calculator,
+                                    data=self.data)
         else:
             self.solver.perform_fit(self.a, self.b, self.w, self.fs_dict)
             self.fit = self.solver.fit

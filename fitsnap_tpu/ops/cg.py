@@ -316,18 +316,44 @@ def build_snap_plan(
         # projection constraint m1 + m2 = m + (j1+j2-j)/2 holds, else 0.
         # z[mb, ma] = sum_{mb1 mb2 ma1 ma2} C[mb,mb1,mb2] C[ma,ma1,ma2]
         #             u1[mb1,ma1] u2[mb2,ma2]
-        z_dense = []
-        for (j1, j2, j) in z_triples:
+        # ALL triples are padded to a common (D, D, D) grid (D = jmax+1) and
+        # stacked, so the whole z-list is 8 batched einsums — keeping the
+        # XLA graph tiny and the work MXU/VPU-batched.
+        D = twojmax + 1
+        ntz = len(z_triples)
+        z_cpad = np.zeros((ntz, D, D, D))
+        zg1 = np.zeros((ntz, D, D), np.int32)
+        zg2 = np.zeros((ntz, D, D), np.int32)
+        for t, (j1, j2, j) in enumerate(z_triples):
             cg = cgb(j1, j2, j)
             bnorm = 1.0 / (j + 1) if bnormflag else 1.0
-            C = np.zeros((j + 1, j1 + 1, j2 + 1))
             shift = (j1 + j2 - j) // 2
             for m in range(j + 1):
                 for m1 in range(j1 + 1):
                     m2 = m + shift - m1
                     if 0 <= m2 <= j2:
-                        C[m, m1, m2] = cg[m1, m2]
-            z_dense.append((j1, j2, j, C, bnorm))
+                        # fold bnorm once (C appears twice in the product)
+                        z_cpad[t, m, m1, m2] = cg[m1, m2] * bnorm
+            # restore: bnorm must multiply z once, not twice — use sqrt? No:
+            # apply bnorm only on the 'mb' factor side below.
+            for mb1 in range(j1 + 1):
+                for ma1 in range(j1 + 1):
+                    zg1[t, mb1, ma1] = _uidx(offsets, j1, mb1, ma1)
+            for mb2 in range(j2 + 1):
+                for ma2 in range(j2 + 1):
+                    zg2[t, mb2, ma2] = _uidx(offsets, j2, mb2, ma2)
+        # second (un-normalized) C for the mb-side contraction
+        z_cpad_raw = np.zeros((ntz, D, D, D))
+        for t, (j1, j2, j) in enumerate(z_triples):
+            cg = cgb(j1, j2, j)
+            shift = (j1 + j2 - j) // 2
+            for m in range(j + 1):
+                for m1 in range(j1 + 1):
+                    m2 = m + shift - m1
+                    if 0 <= m2 <= j2:
+                        z_cpad_raw[t, m, m1, m2] = cg[m1, m2]
+        z_dense = {"C_ma": z_cpad, "C_mb": z_cpad_raw,
+                   "g1": zg1, "g2": zg2, "D": D, "ntz": ntz}
 
         # Assemble dB/dutot rows: for B-triple (J1,J2,J) the jacobian is the
         # z-list at (J1,J2,J) in the u_J block, plus (J,J2,J1) in the u_J1
@@ -343,12 +369,13 @@ def build_snap_plan(
                 ((J, J1, J2), J2,
                  1.0 if bnormflag else (J + 1) / (J2 + 1)),
             ]
+            zpos = {t3: i for i, t3 in enumerate(z_triples)}
             for layer, (zt, jp, fac) in enumerate(blocks):
-                base = zoff[zt]
+                base = zpos[zt] * D * D
                 for mb in range(jp + 1):
                     for ma in range(jp + 1):
                         p = _uidx(offsets, jp, mb, ma)
-                        y_src[layer, t, p] = base + mb * (jp + 1) + ma
+                        y_src[layer, t, p] = base + mb * D + ma
                         y_fac[layer, t, p] = fac
 
     # Self-term diagonal indices within a channel.

@@ -350,35 +350,29 @@ def _compute_zcat(ut, plan: SnapPlan):
     A = ut.shape[0]
     U = plan.u_len
     utr, uti = ut[:, :U], ut[:, U:]
-    off = plan.u_offsets
+    zd = plan.z_dense
+    D = zd["D"]
 
-    ubr = [utr[:, off[j]:off[j] + (j + 1) ** 2].reshape(A, j + 1, j + 1)
-           for j in range(plan.twojmax + 1)]
-    ubi = [uti[:, off[j]:off[j] + (j + 1) ** 2].reshape(A, j + 1, j + 1)
-           for j in range(plan.twojmax + 1)]
+    g1 = jnp.asarray(zd["g1"])                 # (ntz, D, D) [mb1, ma1]
+    g2 = jnp.asarray(zd["g2"])                 # (ntz, D, D) [mb2, ma2]
+    # C_ma has 1/(2j+1) bnorm folded (applied once); C_mb is raw
+    Cma = jnp.asarray(zd["C_ma"], dtype)       # (ntz, ma, ma1, ma2)
+    Cmb = jnp.asarray(zd["C_mb"], dtype)       # (ntz, mb, mb1, mb2)
 
-    zr_parts, zi_parts = [], []
-    for (j1, j2, j, C, bnorm) in plan.z_dense:
-        Cj = jnp.asarray(C, dtype)
-        u1r, u1i = ubr[j1], ubi[j1]           # (A, j1+1, j1+1) [mb1, ma1]
-        u2r, u2i = ubr[j2], ubi[j2]           # (A, j2+1, j2+1) [mb2, ma2]
-        # t1[c, m, b? ] := sum_k u2[c, k] C[m, j, k] -> (A, mb2, ma, ma1)
-        t1r = jnp.einsum("ack,mjk->acmj", u2r, Cj)
-        t1i = jnp.einsum("ack,mjk->acmj", u2i, Cj)
-        # t2[b, c, m] := sum_j u1[b, j] t1[c, m, j] -> (A, mb1, mb2, ma)
-        t2r = jnp.einsum("abj,acmj->abcm", u1r, t1r) \
-            - jnp.einsum("abj,acmj->abcm", u1i, t1i)
-        t2i = jnp.einsum("abj,acmj->abcm", u1r, t1i) \
-            + jnp.einsum("abj,acmj->abcm", u1i, t1r)
-        # z[n, m] := sum_{b,c} C[n, b, c] t2[b, c, m] -> (A, mb, ma)
-        zr = jnp.einsum("nbc,abcm->anm", Cj, t2r)
-        zi = jnp.einsum("nbc,abcm->anm", Cj, t2i)
-        if bnorm != 1.0:
-            zr = zr * bnorm
-            zi = zi * bnorm
-        zr_parts.append(zr.reshape(A, -1))
-        zi_parts.append(zi.reshape(A, -1))
-    return jnp.concatenate(zr_parts, -1), jnp.concatenate(zi_parts, -1)
+    u1r, u1i = utr[:, g1], uti[:, g1]          # (A, ntz, D, D)
+    u2r, u2i = utr[:, g2], uti[:, g2]
+    # t1[a,t,c(mb2),m(ma),j(ma1)] = sum_k u2[a,t,c,k] C_ma[t,m,j,k]
+    t1r = jnp.einsum("atck,tmjk->atcmj", u2r, Cma)
+    t1i = jnp.einsum("atck,tmjk->atcmj", u2i, Cma)
+    # t2[a,t,b(mb1),c(mb2),m] = sum_j u1[a,t,b,j] t1[a,t,c,m,j]
+    t2r = jnp.einsum("atbj,atcmj->atbcm", u1r, t1r) \
+        - jnp.einsum("atbj,atcmj->atbcm", u1i, t1i)
+    t2i = jnp.einsum("atbj,atcmj->atbcm", u1r, t1i) \
+        + jnp.einsum("atbj,atcmj->atbcm", u1i, t1r)
+    # z[a,t,n(mb),m(ma)] = sum_{b,c} C_mb[t,n,b,c] t2[a,t,b,c,m]
+    zr = jnp.einsum("tnbc,atbcm->atnm", Cmb, t2r)
+    zi = jnp.einsum("tnbc,atbcm->atnm", Cmb, t2i)
+    return zr.reshape(A, -1), zi.reshape(A, -1)
 
 
 def _dbdu_ylist(ut, plan: SnapPlan, zcat=None):

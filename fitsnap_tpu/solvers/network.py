@@ -1,0 +1,372 @@
+"""Neural-network solver (JAX/optax), replacing the reference's PYTORCH /
+NETWORK / JAX solvers (`fitsnap3lib/solvers/pytorch.py`, `network.py`,
+`jax.py`).
+
+Pipeline: per-atom descriptors B and their per-pair gradients dB/dD are
+precomputed ON DEVICE once (same kernels as the linear path), bucketed by
+padded (atoms, neighbors) shape to bound padding waste and XLA recompiles.
+The training loop is pure device compute: per-element MLP energies, forces
+from one einsum + one-hot scatter of dE/dB against dB/dD (the reference's
+dgrad contraction, `lib/neural_networks/pytorch.py:147-219`), weighted MSE
+loss, Adam.  Batches are drawn per bucket; each bucket shape compiles once.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitsnap_tpu.models.mlp import atom_energies, init_mlp, save_params
+from fitsnap_tpu.solvers.solver import Solver
+
+
+def _net_section(config):
+    for name in ("PYTORCH", "NETWORK", "JAX"):
+        if name in config.sections:
+            return config.sections[name]
+    raise ValueError("NN solver requires a PYTORCH/NETWORK/JAX section")
+
+
+class NetworkSolver(Solver):
+    def __init__(self, name, config):
+        super().__init__(name, config, linear=False)
+        self.net = _net_section(config)
+        self.buckets = None     # list of per-bucket dataset dicts
+        self.mean = None
+        self.std = None
+        self.params = None
+        self.history = []
+
+    # ------------- data -------------
+
+    def prepare_dataset(self, calculator, data):
+        """Precompute descriptors/dgrad for all configs, bucketed by shape."""
+        import optax  # noqa: F401  (fail early if missing)
+        from fitsnap_tpu.ops.snap import descriptors_with_jacobian
+        from fitsnap_tpu.ops.refpot import reference_eav
+
+        packed, shape_buckets = calculator.host_preprocess(data)
+        params = calculator.params
+        refspec = calculator.refspec
+        dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+
+        def prep(disp, jidx, mask, types, natoms):
+            A = disp.shape[0]
+            dtp = disp.dtype
+            radelem = jnp.asarray(params.radelem, dtp)
+            rcutij = (radelem[types][:, None] + radelem[types[jidx]]) \
+                * params.rcutfac
+            r2 = jnp.sum(disp * disp, -1)
+            smask = mask & (r2 < rcutij * rcutij)
+            real = (jnp.arange(A) < natoms).astype(dtp)
+            B, G = descriptors_with_jacobian(disp, types[jidx], smask,
+                                             types, params)
+            B = B * real[:, None]
+            G = G * real[:, None, None, None]
+            re_, rf_, _ = reference_eav(disp, jidx, mask, types, natoms,
+                                        refspec)
+            return B, G, re_, rf_
+
+        self.buckets = []
+        sum_b = None
+        sumsq_b = None
+        count = 0
+        for (a_pad, k_pad), idxs in sorted(shape_buckets.items()):
+            n = len(idxs)
+            disp = np.zeros((n, a_pad, k_pad, 3), dtype)
+            jidx = np.zeros((n, a_pad, k_pad), np.int32)
+            mask = np.zeros((n, a_pad, k_pad), bool)
+            types = np.zeros((n, a_pad), np.int32)
+            nat = np.zeros((n,), np.int32)
+            e_t = np.zeros((n,), dtype)
+            f_t = np.zeros((n, a_pad, 3), dtype)
+            ew = np.zeros((n,), dtype)
+            fw = np.zeros((n,), dtype)
+            test = np.zeros((n,), bool)
+            groups = []
+            for j, i in enumerate(idxs):
+                pc = packed[i]
+                na, kc = pc.natoms, pc.kcount
+                disp[j, :na, :kc] = pc.disp[:, :kc]
+                jidx[j, :na, :kc] = pc.jidx[:, :kc]
+                mask[j, :na, :kc] = pc.mask[:, :kc]
+                types[j, :na] = pc.types
+                nat[j] = na
+                d = pc.data
+                e_t[j] = d["Energy"]
+                f_t[j, :na] = d["Forces"]
+                ew[j] = d.get("eweight", 1.0)
+                fw[j] = d.get("fweight", 1.0)
+                test[j] = bool(d["test_bool"])
+                groups.append(d["Group"])
+
+            fn = jax.jit(jax.vmap(prep))
+            chunk = int(min(32, max(1, 1024 // a_pad)))
+            Bs, Gs, res, rfs = [], [], [], []
+            for c0 in range(0, n, chunk):
+                sl = slice(c0, min(n, c0 + chunk))
+                pad = chunk - (sl.stop - sl.start)
+                args = [np.concatenate([x[sl]] + ([x[:pad]] if pad else []))
+                        for x in (disp, jidx, mask, types, nat)]
+                B, G, re_, rf_ = fn(*[jnp.asarray(x) for x in args])
+                keep = sl.stop - sl.start
+                Bs.append(B[:keep])
+                Gs.append(G[:keep])
+                res.append(re_[:keep])
+                rfs.append(rf_[:keep])
+            B = jnp.concatenate(Bs)
+            G = jnp.concatenate(Gs)
+            ref_e = np.asarray(jnp.concatenate(res))
+            ref_f = np.asarray(jnp.concatenate(rfs))
+
+            real = (np.arange(a_pad)[None, :] < nat[:, None])
+            Bh = np.asarray(B)[real]
+            sum_b = Bh.sum(0) if sum_b is None else sum_b + Bh.sum(0)
+            sumsq_b = (Bh ** 2).sum(0) if sumsq_b is None \
+                else sumsq_b + (Bh ** 2).sum(0)
+            count += Bh.shape[0]
+
+            self.buckets.append({
+                "B": B, "G": G,
+                "jidx": jnp.asarray(jidx),
+                "types": jnp.asarray(types),
+                "nat": jnp.asarray(nat),
+                "real": jnp.asarray(real),
+                "e_target": jnp.asarray(
+                    (e_t - ref_e) / np.maximum(nat, 1), dtype),
+                "f_target": jnp.asarray(np.asarray(f_t - ref_f, dtype)),
+                "ew": jnp.asarray(ew), "fw": jnp.asarray(fw),
+                "test": test, "groups": groups, "nat_host": nat,
+                "shape": (a_pad, k_pad), "dtype": dtype,
+            })
+
+        mean = sum_b / count
+        var = sumsq_b / count - mean ** 2
+        std = np.sqrt(np.clip(var, 0, None))
+        std[std < 1e-8] = 1.0
+        self.mean = jnp.asarray(mean, dtype)
+        self.std = jnp.asarray(std, dtype)
+        return self.buckets
+
+    # ------------- model -------------
+
+    def _forward_batch(self, params, batch):
+        """Per-atom-normalized energies and forces for one gathered batch."""
+        B = batch["B"]
+        G = batch["G"]
+        elem = batch["types"]
+        real = batch["real"].astype(B.dtype)
+        nat = jnp.maximum(batch["nat"], 1).astype(B.dtype)
+        x = (B - self.mean) / self.std
+
+        def e_and_dedb(x_c, elem_c, real_c):
+            def etot(xx):
+                return jnp.sum(atom_energies(params, xx, elem_c) * real_c)
+            return jax.value_and_grad(etot)(x_c)
+
+        e, dEdx = jax.vmap(e_and_dedb)(x, elem, real)
+        e_per_atom = e / nat
+        dEdB = dEdx / self.std
+        fpair = jnp.einsum("naw,nawkc->nakc", dEdB, G)
+        A = B.shape[1]
+        oj = jax.nn.one_hot(batch["jidx"], A, dtype=B.dtype)
+        scat = jnp.einsum("nakm,nakc->nmc", oj, fpair)
+        forces = -(scat - fpair.sum(axis=2))
+        return e_per_atom, forces
+
+    _BATCH_KEYS = ("B", "G", "types", "real", "nat", "jidx",
+                   "e_target", "f_target", "ew", "fw")
+
+    @staticmethod
+    def _gather(ds, idx):
+        return {k: ds[k][idx] for k in NetworkSolver._BATCH_KEYS}
+
+    def _loss(self, params, batch):
+        net = self.net
+        e_pred, f_pred = self._forward_batch(params, batch)
+        real = batch["real"].astype(e_pred.dtype)
+        live = (batch["nat"] > 0).astype(e_pred.dtype)
+        nfc = jnp.maximum((real.sum(1) * 3 * live).sum(), 1.0)
+        ne = jnp.maximum(live.sum(), 1.0)
+        e_res = (e_pred - batch["e_target"]) * live
+        f_res = (f_pred - batch["f_target"]) * real[..., None] \
+            * live[:, None, None]
+        if net.global_weight_bool:
+            loss = (net.energy_weight * jnp.sum(e_res ** 2) / ne
+                    + net.force_weight * jnp.sum(f_res ** 2) / nfc)
+        else:
+            loss = (jnp.sum(batch["ew"] * e_res ** 2) / ne
+                    + jnp.sum(batch["fw"][:, None, None] * f_res ** 2) / nfc)
+        return loss
+
+    # ------------- training -------------
+
+    def perform_fit(self, a=None, b=None, w=None, fs_dict=None,
+                    calculator=None, data=None):
+        import optax
+
+        if self.buckets is None:
+            assert calculator is not None and data is not None, \
+                "NetworkSolver needs (calculator, data) or prepare_dataset()"
+            self.prepare_dataset(calculator, data)
+        net = self.net
+
+        nelem_net = (self.config.sections.get("BISPECTRUM")
+                     or self.config.sections.get("ACE")).numtypes \
+            if net.multi_element_option == 2 else 1
+        if net.multi_element_option != 2:
+            for ds in self.buckets:
+                ds["types"] = jnp.zeros_like(ds["types"])
+        key = jax.random.PRNGKey(13 if net.manual_seed_flag else
+                                 int(time.time()) % 2 ** 31)
+        dtype = jnp.float32 if self.buckets[0]["dtype"] == np.float32 \
+            else jnp.float64
+        self.params = init_mlp(net.layer_sizes, nelem_net, key, dtype)
+        # start the output bias at the mean per-atom energy target so the
+        # network doesn't spend epochs learning the cohesive-energy offset
+        e_mean = float(np.mean(np.concatenate(
+            [np.asarray(ds["e_target"]) for ds in self.buckets])))
+        w_last, b_last = self.params[-1]
+        self.params[-1] = (w_last, b_last + e_mean)
+
+        opt = optax.adam(net.learning_rate)
+        opt_state = opt.init(self.params)
+        loss_fn = self._loss
+
+        @jax.jit
+        def train_step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        eval_loss = jax.jit(loss_fn)
+
+        # per-bucket train/val indices
+        rng = np.random.default_rng(13)
+        bs = net.batch_size
+        train_sets, val_sets = [], []
+        for ds in self.buckets:
+            tr = np.where(~ds["test"])[0]
+            va = np.where(ds["test"])[0]
+            if net.training_fraction < 1.0 and len(va) == 0:
+                ntr = int(len(tr) * net.training_fraction)
+                va = tr[ntr:]
+                tr = tr[:ntr]
+            train_sets.append(tr)
+            val_sets.append(va)
+
+        best_val = np.inf
+        best_params = self.params
+        self.history = []
+        for epoch in range(net.num_epochs):
+            tl, nsteps = 0.0, 0
+            # round-robin over buckets, fixed batch shape per bucket
+            batches = []
+            for bi, (ds, tr) in enumerate(zip(self.buckets, train_sets)):
+                if len(tr) == 0:
+                    continue
+                order = rng.permutation(tr) if net.shuffle_flag else tr
+                bsz = min(bs, len(tr))
+                for i in range(0, len(order) - bsz + 1, bsz):
+                    batches.append((bi, order[i:i + bsz]))
+            rng.shuffle(batches)
+            for bi, idx in batches:
+                batch = self._gather(self.buckets[bi], jnp.asarray(idx))
+                self.params, opt_state, loss = train_step(
+                    self.params, opt_state, batch)
+                tl += float(loss)
+                nsteps += 1
+            tl /= max(nsteps, 1)
+            vl, nv = 0.0, 0
+            for bi, (ds, va) in enumerate(zip(self.buckets, val_sets)):
+                if len(va) == 0:
+                    continue
+                bsz = min(bs, len(va))
+                for i in range(0, len(va) - bsz + 1, bsz):
+                    batch = self._gather(ds, jnp.asarray(va[i:i + bsz]))
+                    vl += float(eval_loss(self.params, batch))
+                    nv += 1
+            vl = vl / nv if nv else tl
+            self.history.append((epoch, tl, vl))
+            if vl <= best_val:
+                best_val = vl
+                best_params = self.params
+        self.params = best_params
+        self.fit = None  # nonlinear: no coefficient vector
+
+        with open("loss_vs_epochs.dat", "w") as f:
+            for e, tl, vl in self.history:
+                f.write(f"{e} {tl:.8e} {vl:.8e}\n")
+        if net.save_state_output and net.save_state_output != "None":
+            save_params(net.save_state_output, self.params, {
+                "layer_sizes": net.layer_sizes,
+                "mean": np.asarray(self.mean),
+                "std": np.asarray(self.std),
+                "multi_element_option": net.multi_element_option,
+            })
+        return self.params
+
+    # ------------- evaluation / errors -------------
+
+    def evaluate_bucket(self, ds, chunk=32):
+        """Predictions for every config in one bucket."""
+        n = int(ds["B"].shape[0])
+        fwd = jax.jit(self._forward_batch)
+        es, fs_ = [], []
+        for c0 in range(0, n, chunk):
+            idx = np.arange(c0, min(n, c0 + chunk))
+            pad = chunk - len(idx)
+            idxp = np.concatenate([idx, np.zeros(pad, int)]) if pad else idx
+            e, f = fwd(self.params, self._gather(ds, jnp.asarray(idxp)))
+            es.append(np.asarray(e)[:len(idx)])
+            fs_.append(np.asarray(f)[:len(idx)])
+        return np.concatenate(es), np.concatenate(fs_)
+
+    def error_analysis(self, a=None, b=None, w=None, fs_dict=None):
+        from pandas import DataFrame
+
+        if self.params is None or self.buckets is None:
+            self.errors = []
+            return
+        rows_e, rows_f = {}, {}
+        for ds in self.buckets:
+            e_pred, f_pred = self.evaluate_bucket(ds)
+            e_t = np.asarray(ds["e_target"])
+            f_t = np.asarray(ds["f_target"])
+            realm = np.asarray(ds["real"])
+            groups = np.array(ds["groups"])
+            test = ds["test"]
+            for i, g in enumerate(groups):
+                label = "Testing" if test[i] else "Training"
+                rows_e.setdefault((g, label), []).append(
+                    e_pred[i] - e_t[i])
+                rows_f.setdefault((g, label), []).append(
+                    (f_pred[i] - f_t[i])[realm[i]])
+        table = []
+        keys = sorted(rows_e) + [("*ALL", "Training"), ("*ALL", "Testing")]
+        for g, label in keys:
+            if g == "*ALL":
+                e_res = np.concatenate(
+                    [np.atleast_1d(v) for (gg, ll), vs in rows_e.items()
+                     if ll == label for v in vs] or [np.zeros(0)])
+                f_res = np.concatenate(
+                    [v.reshape(-1) for (gg, ll), vs in rows_f.items()
+                     if ll == label for v in vs] or [np.zeros(0)])
+            else:
+                e_res = np.array(rows_e[(g, label)])
+                f_res = np.concatenate(
+                    [v.reshape(-1) for v in rows_f[(g, label)]])
+            if e_res.size == 0:
+                continue
+            table.append({
+                "Group": g, "Testing": label,
+                "ncount_E": int(e_res.size),
+                "mae_E": float(np.abs(e_res).mean()),
+                "rmse_E": float(np.sqrt((e_res ** 2).mean())),
+                "ncount_F": int(f_res.size),
+                "mae_F": float(np.abs(f_res).mean()) if f_res.size else 0.0,
+                "rmse_F": float(np.sqrt((f_res ** 2).mean()))
+                if f_res.size else 0.0,
+            })
+        self.errors = DataFrame(table).set_index(["Group", "Testing"])
