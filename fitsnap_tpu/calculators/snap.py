@@ -179,8 +179,12 @@ class SnapCalculator:
         for (a_pad, k_pad), idxs in buckets.items():
             fn = self._rows_fn(a_pad, k_pad, jnp.dtype(dtype))
             # fixed chunk size per bucket shape: the tail chunk is padded with
-            # empty configs so each bucket compiles exactly once
-            chunk = int(min(32, max(1, 1024 // a_pad), len(idxs)))
+            # empty configs so each bucket compiles exactly once; budget the
+            # chunk by the dominant G tensor (A*K*width*3 per config)
+            width = self.sec.ncoeff
+            g_bytes = a_pad * k_pad * width * 3 * 8
+            chunk = int(min(32, max(1, 1024 // a_pad),
+                            max(1, (1 << 30) // (4 * g_bytes)), len(idxs)))
             for c0 in range(0, len(idxs), chunk):
                 ids = idxs[c0:c0 + chunk]
                 n = len(ids)

@@ -434,11 +434,22 @@ def descriptors_with_jacobian(disp, jelem, mask, ielem, p: SnapParams):
                  + jnp.einsum("au,atu->at", ut[:, U:], fac0 * z_i[:, src0]))
         if plan.bzeroflag:
             Bbase = Bbase - jnp.asarray(plan.bzero, disp.dtype)[None, :]
+        # contract with the pair tangents FIRST (base width), then apply the
+        # quadratic product rule on the small dBdD — materializing the
+        # (A, next, 2U) quadratic jacobian would be GBs at twojmax=8
+        dBdD = jnp.einsum("awu,caku->awkc", dBdu, J)
         if plan.quadraticflag:
-            B, dBdu = _quad_chain(Bbase, dBdu, plan)
+            iq1 = jnp.asarray(plan.iq1)
+            iq2 = jnp.asarray(plan.iq2)
+            qc = jnp.asarray(plan.qcoef, Bbase.dtype)
+            q = Bbase[:, iq1] * Bbase[:, iq2] * qc
+            dq = qc[None, :, None, None] * (
+                Bbase[:, iq1, None, None] * dBdD[:, iq2]
+                + Bbase[:, iq2, None, None] * dBdD[:, iq1])
+            B = jnp.concatenate([Bbase, q], axis=1)
+            dBdD = jnp.concatenate([dBdD, dq], axis=1)
         else:
             B = Bbase
-        dBdD = jnp.einsum("awu,caku->awkc", dBdu, J)
     else:
         # chemflag path: per-atom jacobian of the contraction via jacrev
         # (correct for element-channel structure; slower — optimized later

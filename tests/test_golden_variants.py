@@ -1,0 +1,56 @@
+"""Golden regressions for additional example variants.
+
+- Ta_XYZ: exercises the extended-XYZ scraper end-to-end (19Nov19_Standard).
+- Ta_Quadratic: quadraticflag + twojmax=8 (20May21_Standard); several
+  minutes of CPU, so gated behind FITSNAP_TPU_SLOW_TESTS=1 (the WBe
+  25k-config golden runs in CI-equivalent benchmarking, not here).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.util import REFERENCE, read_snapcoeff
+
+pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
+                                reason="reference examples not available")
+
+
+def _run(example_in):
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    fs = FitSnap(str(example_in), arglist=["--overwrite"])
+    fs.scrape_configs()
+    fs.process_configs()
+    fs.perform_fit()
+    return fs
+
+
+def test_ta_xyz_golden(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ex = REFERENCE / "examples/Ta_XYZ"
+    fs = _run(ex / "Ta-example.in")
+    std = read_snapcoeff(ex / "19Nov19_Standard/Ta_pot.snapcoeff")
+    assert np.abs(fs.solver.fit - std).max() < 1e-6
+
+
+@pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
+                    reason="several minutes; set FITSNAP_TPU_SLOW_TESTS=1")
+def test_ta_quadratic_golden(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ex = REFERENCE / "examples/Ta_Quadratic_JCP2018"
+    fs = _run(ex / "Ta-example.in")
+    std = read_snapcoeff(ex / "20May21_Standard/Ta_pot.snapcoeff")
+    assert fs.solver.fit.shape == std.shape == (1596,)
+    assert np.abs(fs.solver.fit - std).max() < 1e-6
+
+
+@pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
+                    reason="25k configs; set FITSNAP_TPU_SLOW_TESTS=1")
+def test_wbe_golden(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ex = REFERENCE / "examples/WBe_PRB2019"
+    fs = _run(ex / "WBe-example.in")
+    std = read_snapcoeff(ex / "20May21_Standard/WBe_pot.snapcoeff")
+    assert np.abs(fs.solver.fit - std).max() < 1e-6
