@@ -55,6 +55,7 @@ class PackedConfig:
     jidx: np.ndarray = None
     mask: np.ndarray = None
     kcount: int = 0
+    spins: np.ndarray = None   # (natoms, 3) unit vectors, or None
 
 
 class SnapCalculator:
@@ -89,12 +90,18 @@ class SnapCalculator:
     def _pack(self, data: dict) -> PackedConfig:
         types = np.array(
             [self.type_mapping[t] - 1 for t in data["AtomTypes"]], np.int32)
+        spins = None
+        if "Spins" in data and self.refspec.spin is not None:
+            sp = np.asarray(data["Spins"], np.float64)
+            vec = sp[:, 1:4]
+            spins = vec / np.linalg.norm(vec, axis=1)[:, None]
         return PackedConfig(
             pos=np.asarray(data["Positions"], np.float64),
             cell=np.asarray(data["Lattice"], np.float64),
             types=types,
             natoms=int(data["NumAtoms"]),
             data=data,
+            spins=spins,
         )
 
     def host_preprocess(self, data: list):
@@ -120,7 +127,7 @@ class SnapCalculator:
         refspec = self.refspec
         numtypes = self.numtypes
 
-        def one_config(disp, jidx, mask, types, natoms, cell):
+        def one_config(disp, jidx, mask, types, natoms, cell, spins):
             A = disp.shape[0]
             dtp = disp.dtype
             radelem = jnp.asarray(params.radelem, dtp)
@@ -154,7 +161,8 @@ class SnapCalculator:
             vir = -jnp.einsum("ikx,tikwy->xytw", dm, GT).reshape(3, 3, W)
             virial_rows = vir[pa, pb] * (TOBAR / vol)          # (6, W)
 
-            re, rf, rv = reference_eav(disp, jidx, mask, types, natoms, refspec)
+            re, rf, rv = reference_eav(disp, jidx, mask, types, natoms,
+                                       refspec, spins=spins)
             return {"e_cols": e_cols, "force_rows": force_rows,
                     "virial_rows": virial_rows,
                     "ref_e": re, "ref_f": rf, "ref_v": rv * (TOBAR / vol)}
@@ -194,6 +202,7 @@ class SnapCalculator:
                 cell = np.eye(3, dtype=dtype)[None].repeat(chunk, 0)
                 types = np.zeros((chunk, a_pad), np.int32)
                 nat = np.zeros((chunk,), np.int32)
+                spins = np.zeros((chunk, a_pad, 3), dtype)
                 for j, i in enumerate(ids):
                     pc = packed[i]
                     na, kc = pc.natoms, pc.kcount
@@ -203,8 +212,11 @@ class SnapCalculator:
                     cell[j] = pc.cell
                     types[j, :na] = pc.types
                     nat[j] = na
+                    if pc.spins is not None:
+                        spins[j, :na] = pc.spins
                 out = jax.tree.map(np.asarray,
-                                   fn(disp, jidx, mask, types, nat, cell))
+                                   fn(disp, jidx, mask, types, nat, cell,
+                                      spins))
                 for j, i in enumerate(ids):
                     results[i] = {k: v[j] for k, v in out.items()}
 

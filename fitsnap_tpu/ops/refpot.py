@@ -115,9 +115,26 @@ def zbl_pair_energy(r, ti, tj, p: ZblParams):
 
 
 @dataclass(frozen=True)
+class SpinExchangeParams:
+    """LAMMPS `pair_style spin/exchange/biquadratic` (Bethe-Slater radial
+    profiles).  Calibrated against the reference's Fe Truth-Ref oracle:
+    E = -1/2 sum_pairs [ J(r)(s_i.s_j - 1) + K(r)((s_i.s_j)^2 - 1) ]
+    with unit spin vectors and offset enabled."""
+    rc: float
+    aj: float
+    gj: float
+    dj: float
+    ak: float
+    gk: float
+    dk: float
+    offset: bool = True
+
+
+@dataclass(frozen=True)
 class RefSpec:
     """Parsed REFERENCE section: list of active pair potentials."""
     zbl: ZblParams = None
+    spin: SpinExchangeParams = None
     max_cutoff: float = 0.0
 
 
@@ -151,6 +168,7 @@ def parse_reference(section, ntypes) -> RefSpec:
             raise NotImplementedError(f"reference pair style '{name}' not supported")
 
     zbl_pairs = {}
+    spin = None
     for line in decls[1:]:
         toks = line.split()
         assert toks[0] == "pair_coeff"
@@ -159,12 +177,25 @@ def parse_reference(section, ntypes) -> RefSpec:
         # hybrid: next token names the sub-style
         style = rest[0] if rest and not _is_num(rest[0]) else None
         args = rest[1:] if style else rest
-        if style == "zbl" or (style is None and "zbl" in styles and len(styles) == 1):
+        if style == "zbl" or (style is None and "zbl" in styles
+                              and len(styles) == 1):
             t_is = range(ntypes) if ti_s == "*" else [int(ti_s) - 1]
             t_js = range(ntypes) if tj_s == "*" else [int(tj_s) - 1]
             for a in t_is:
                 for b in t_js:
                     zbl_pairs[(a, b)] = (float(args[0]), float(args[1]))
+        elif style == "spin/exchange/biquadratic":
+            # biquadratic <rc> aJ gJ dJ aK gK dK [offset yes|no]
+            assert args[0] == "biquadratic"
+            vals = args[1:8]
+            offset = True
+            if "offset" in args:
+                offset = args[args.index("offset") + 1].lower() in (
+                    "yes", "true", "1")
+            spin = SpinExchangeParams(
+                rc=float(vals[0]), aj=float(vals[1]), gj=float(vals[2]),
+                dj=float(vals[3]), ak=float(vals[4]), gk=float(vals[5]),
+                dk=float(vals[6]), offset=offset)
 
     zbl = None
     max_cut = 0.0
@@ -172,7 +203,9 @@ def parse_reference(section, ntypes) -> RefSpec:
         cut_inner, cut_outer = styles["zbl"][0], styles["zbl"][1]
         zbl = build_zbl(cut_inner, cut_outer, zbl_pairs, ntypes)
         max_cut = max(max_cut, cut_outer)
-    return RefSpec(zbl=zbl, max_cutoff=max_cut)
+    if spin is not None:
+        max_cut = max(max_cut, spin.rc)
+    return RefSpec(zbl=zbl, spin=spin, max_cutoff=max_cut)
 
 
 def _is_num(s):
@@ -183,16 +216,24 @@ def _is_num(s):
         return False
 
 
-def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec):
+def _bethe_slater(r, a, g, d):
+    x2 = (r / d) ** 2
+    return 4.0 * a * x2 * (1.0 - g * x2) * jnp.exp(-x2)
+
+
+def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec,
+                  spins=None):
     """Reference-potential (energy, forces (A,3), virial (6,) in eV units).
 
     disp: (A, K, 3) r_j - r_i over the directed padded neighbor list; each
     physical pair appears twice, so pair sums carry a 0.5 factor.
+    spins: optional (A, 3) unit spin vectors for the spin/exchange pair
+    style (magnetic moments are frame-fixed; forces come from dJ/dr only).
     Virial components ordered (xx, yy, zz, yz, xz, xy), W_ab = -0.5 sum
     D_a dE/dD_b matching the sign convention validated against the oracle.
     """
     A = disp.shape[0]
-    if spec.zbl is None:
+    if spec.zbl is None and spec.spin is None:
         z = jnp.zeros((), disp.dtype)
         return z, jnp.zeros((A, 3), disp.dtype), jnp.zeros((6,), disp.dtype)
 
@@ -202,7 +243,17 @@ def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec):
     def total_energy(d):
         safe = jnp.where(mask[..., None], d, jnp.array([1.0, 0.0, 0.0], d.dtype))
         r = jnp.sqrt(jnp.sum(safe * safe, -1))
-        e = zbl_pair_energy(r, ti, tj, spec.zbl)
+        e = jnp.zeros_like(r)
+        if spec.zbl is not None:
+            e = e + zbl_pair_energy(r, ti, tj, spec.zbl)
+        if spec.spin is not None and spins is not None:
+            sp = spec.spin
+            dots = jnp.einsum("ac,akc->ak", spins, spins[jidx])
+            off = 1.0 if sp.offset else 0.0
+            es = -(_bethe_slater(r, sp.aj, sp.gj, sp.dj) * (dots - off)
+                   + _bethe_slater(r, sp.ak, sp.gk, sp.dk)
+                   * (dots ** 2 - off))
+            e = e + jnp.where(r < sp.rc, es, 0.0)
         e = jnp.where(mask, e, 0.0)
         return 0.5 * jnp.sum(e)
 
