@@ -1,0 +1,482 @@
+"""ACE (Atomic Cluster Expansion) descriptors in JAX.
+
+Replaces the reference's `compute pace` (C++ ML-PACE driven via LAMMPS) +
+`lib/sym_ACE` coupling generator with a self-contained implementation:
+
+  - host-side plan: rotation-invariant product-basis labels
+    (mu0, mu_vec, n_vec, l_vec, L_vec) with LEFT-fold angular coupling
+    (L1 = l1 x l2, L2 = L1 x l3, ..., final scalar contraction), and their
+    generalized coupling coefficients from Clebsch-Gordan products;
+  - jittable kernel: ChebExpCos radial basis, complex spherical harmonics,
+    per-element A-basis accumulation, multilinear product contraction.
+
+Parity status: the evaluation pipeline is internally consistent with the
+`.yace` potential this framework writes (ctilde tables come from the same
+plan).  The reference's permutation-adapted label SELECTION
+(`lib/sym_ACE/pa_gen.py`) spans the same invariant space with a different
+basis, so coefficient-level golden parity with FitSNAP's PACE standards is
+not expected yet (tracked for a later round).
+"""
+
+import itertools
+from dataclasses import dataclass, field
+from math import sqrt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitsnap_tpu.ops.cg import cg_block
+
+
+# ---------------------------------------------------------------------------
+# host-side: labels and couplings
+# ---------------------------------------------------------------------------
+
+def _cg(l1, m1, l2, m2, L, M):
+    """<l1 m1 l2 m2 | L M> from the 2j-integer cg_block tables."""
+    if m1 + m2 != M:
+        return 0.0
+    blk = cg_block(2 * l1, 2 * l2, 2 * L)
+    return float(blk[m1 + l1, m2 + l2])
+
+
+def coupling_terms(lvec, Lvec):
+    """All (m-vector, coefficient) pairs coupling Ylm products to a scalar.
+
+    Left-fold scheme: (((l1 l2) L1 l3) L2 ... l_{r-1}) L_{r-2}, then the
+    final CG with l_r couples to (0, 0), requiring L_{r-2} == l_r.
+    """
+    r = len(lvec)
+    if r == 1:
+        assert lvec[0] == 0
+        return {(0,): 1.0}
+    if r == 2:
+        l = lvec[0]
+        assert lvec[1] == l
+        out = {}
+        for m in range(-l, l + 1):
+            out[(m, -m)] = (-1.0) ** (l - m) / sqrt(2 * l + 1)
+        return out
+
+    inter = list(Lvec)
+    assert len(inter) == r - 2
+    terms = {}
+
+    def recurse(slot, mprefix, Lcur, Mcur, coef):
+        if slot == r - 1:
+            # final scalar contraction with l_r: <L M l_r m | 0 0>
+            l_last = lvec[-1]
+            if Lcur != l_last:
+                return
+            m_last = -Mcur
+            if abs(m_last) > l_last:
+                return
+            c = ((-1.0) ** (l_last - Mcur)) / sqrt(2 * l_last + 1)
+            key = mprefix + (m_last,)
+            terms[key] = terms.get(key, 0.0) + coef * c
+            return
+        l_next = lvec[slot]
+        L_next = inter[slot - 1]
+        for m in range(-l_next, l_next + 1):
+            M2 = Mcur + m
+            if abs(M2) > L_next:
+                continue
+            c = _cg(Lcur, Mcur, l_next, m, L_next, M2)
+            if c != 0.0:
+                recurse(slot + 1, mprefix + (m,), L_next, M2, coef * c)
+
+    l1, l2 = lvec[0], lvec[1]
+    L1 = inter[0] if r > 2 else lvec[-1]
+    for m1 in range(-l1, l1 + 1):
+        for m2 in range(-l2, l2 + 1):
+            M = m1 + m2
+            if abs(M) > L1:
+                continue
+            c = _cg(l1, m1, l2, m2, L1, M)
+            if c != 0.0:
+                recurse(2, (m1, m2), L1, M, c)
+    # drop numerically-zero sets
+    return {k: v for k, v in terms.items() if abs(v) > 1e-14}
+
+
+def _scalar_cg_sign(L, M, l, m):
+    return (-1.0) ** (l - m) / sqrt(2 * l + 1) if (M + m) == 0 else 0.0
+
+
+def generate_labels(ranks, nmax, lmax, numtypes, lmin=None):
+    """Enumerate (mu0, mus, ns, ls, Ls) labels.
+
+    Per rank r: (mu, n, l) slot triples from combinations_with_replacement
+    (permutation-invariant ordering), l in [lmin_r..lmax_r] for r >= 2
+    (rank 1 is l = 0), sum(l) even, all triangle-valid intermediate L-paths.
+    """
+    lmin = lmin or [0] * len(ranks)
+    labels = []
+    for mu0 in range(numtypes):
+        for rank, nmx, lmx, lmn in zip(ranks, nmax, lmax, lmin):
+            if rank == 1:
+                for mu in range(numtypes):
+                    for n in range(1, nmx + 1):
+                        labels.append((mu0, (mu,), (n,), (0,), ()))
+                continue
+            lrange = range(lmn, lmx + 1) if rank > 1 else [0]
+            slots = [(mu, n, l)
+                     for mu in range(numtypes)
+                     for n in range(1, nmx + 1)
+                     for l in lrange]
+            for combo in itertools.combinations_with_replacement(slots, rank):
+                ls = tuple(s[2] for s in combo)
+                if sum(ls) % 2 != 0:
+                    continue
+                mus = tuple(s[0] for s in combo)
+                ns = tuple(s[1] for s in combo)
+                # enumerate valid intermediate L paths (left fold)
+                def lpaths(Lcur, idx, path):
+                    if idx == rank - 1:
+                        if Lcur == ls[-1]:
+                            yield path
+                        return
+                    for L in range(abs(Lcur - ls[idx]), Lcur + ls[idx] + 1):
+                        yield from lpaths(L, idx + 1, path + (L,))
+                if rank == 2:
+                    if ls[0] == ls[1]:
+                        labels.append((mu0, mus, ns, ls, ()))
+                    continue
+                for Ls in lpaths(ls[0], 1, ()):
+                    # skip odd-parity intermediates relative to coupling
+                    labels.append((mu0, mus, ns, ls, Ls[1:] if False else Ls))
+    # dedupe
+    seen = set()
+    out = []
+    for lab in labels:
+        if lab not in seen:
+            seen.add(lab)
+            out.append(lab)
+    return out
+
+
+@dataclass
+class AcePlan:
+    """Static parameterization of the ACE kernel."""
+    numtypes: int
+    nradbase: int
+    nmax_per_l: dict            # l -> max n used
+    lmax: int
+    rcut: float
+    lmbda: float
+    rcinner: float
+    drcinner: float
+    labels: list = field(default_factory=list)
+    # A-basis layout: flat index over (mu, n, l, m)
+    a_index: dict = None        # (mu, n, l, m) -> idx
+    nA: int = 0
+    # term tables
+    t_fact: np.ndarray = None   # (nterms, R) int32 indices into A (+1 dummy)
+    t_coef: np.ndarray = None   # (nterms,)
+    t_label: np.ndarray = None  # (nterms,)
+    t_mu0: np.ndarray = None    # (nlabels,) central element of each label
+    rank_max: int = 0
+    mmat: np.ndarray = None     # (nterms, nlabels) dense agg matrix
+
+    @property
+    def ncoeff(self):
+        return len(self.labels) // self.numtypes
+
+
+def build_ace_plan(section) -> AcePlan:
+    ranks = section.ranks
+    nmax = section.nmax
+    lmax_list = section.lmax
+    lmin = section.lmin
+    numtypes = section.numtypes
+    labels = generate_labels(ranks, nmax, lmax_list, numtypes, lmin)
+
+    lmax = max(lmax_list)
+    # A-basis index: union of (mu, n, l) used with all |m| <= l
+    used = {}
+    for (mu0, mus, ns, ls, Ls) in labels:
+        for mu, n, l in zip(mus, ns, ls):
+            used[(mu, n, l)] = True
+    a_index = {}
+    idx = 1                       # 0 is the dummy "one" slot
+    for (mu, n, l) in sorted(used):
+        for m in range(-l, l + 1):
+            a_index[(mu, n, l, m)] = idx
+            idx += 1
+    nA = idx
+
+    rank_max = max(len(lab[1]) for lab in labels)
+    t_fact, t_coef, t_label = [], [], []
+    for li, (mu0, mus, ns, ls, Ls) in enumerate(labels):
+        terms = coupling_terms(ls, Ls)
+        for mvec, c in terms.items():
+            fact = [a_index[(mu, n, l, m)]
+                    for mu, n, l, m in zip(mus, ns, ls, mvec)]
+            fact += [0] * (rank_max - len(fact))
+            t_fact.append(fact)
+            t_coef.append(c)
+            t_label.append(li)
+
+    nterms = len(t_fact)
+    nlabels = len(labels)
+    mmat = np.zeros((nterms, nlabels))
+    for k, (li, c) in enumerate(zip(t_label, t_coef)):
+        mmat[k, li] = c
+
+    nmax_per_l = {}
+    for (mu, n, l) in used:
+        nmax_per_l[l] = max(nmax_per_l.get(l, 0), n)
+
+    return AcePlan(
+        numtypes=numtypes,
+        nradbase=max(section.nmaxbase, max(nmax)),
+        nmax_per_l=nmax_per_l,
+        lmax=lmax,
+        rcut=float(section.rcutfac[0]),
+        lmbda=float(section.lmbda[0]),
+        rcinner=float(section.rcinner[0]),
+        drcinner=float(section.drcinner[0]),
+        labels=labels,
+        a_index=a_index,
+        nA=nA,
+        t_fact=np.asarray(t_fact, np.int32),
+        t_coef=np.asarray(t_coef),
+        t_label=np.asarray(t_label, np.int32),
+        t_mu0=np.asarray([lab[0] for lab in labels], np.int32),
+        rank_max=rank_max,
+        mmat=mmat,
+    )
+
+
+# ---------------------------------------------------------------------------
+# jittable kernel
+# ---------------------------------------------------------------------------
+
+def chebexpcos_basis(r, rcut, lmbda, nradbase):
+    """ChebExpCos radial functions g_k(r), k = 1..nradbase.
+
+    x(r) = 1 - 2 (e^{-lambda (r/rc - 1)} - 1)/(e^lambda - 1)  in [-1, 1],
+    g_k = T_{k-1}(x) * 0.5 (1 + cos(pi r / rc)), zero beyond rcut
+    (Drautz-2019 exponentially-scaled Chebyshev with cosine cutoff).
+    """
+    dtype = r.dtype
+    x = 1.0 - 2.0 * (jnp.exp(-lmbda * (r / rcut - 1.0)) - 1.0) \
+        / (jnp.exp(jnp.asarray(lmbda, dtype)) - 1.0)
+    x = jnp.clip(x, -1.0, 1.0)
+    cz = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(r / rcut, 0.0, 1.0)))
+    cheb = [jnp.ones_like(x), x]
+    for _ in range(2, nradbase):
+        cheb.append(2.0 * x * cheb[-1] - cheb[-2])
+    g = jnp.stack(cheb[:nradbase], axis=-1) * cz[..., None]
+    return jnp.where(r[..., None] < rcut, g, 0.0)
+
+
+def _alp_coeffs(lmax):
+    """Associated-Legendre recursion coefficients (host)."""
+    import math
+    coeffs = {}
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            # normalization for complex Ylm
+            nrm = math.sqrt((2 * l + 1) / (4 * math.pi)
+                            * math.factorial(l - m) / math.factorial(l + m))
+            coeffs[(l, m)] = nrm
+    return coeffs
+
+
+def sph_harm(disp_unit, lmax):
+    """Complex spherical harmonics Y_lm for l<=lmax, m=-l..l.
+
+    Returns (yr, yi) lists indexed [l][..., 2l+1] (m = -l..l).
+    Built from the standard associated-Legendre recursions (P_ll, P_l+1,l,
+    two-term upward recursion) — static unroll, no data-dependent control.
+    """
+    import math
+    x, y, z = disp_unit[..., 0], disp_unit[..., 1], disp_unit[..., 2]
+    # cos(theta) = z; e^{i phi} sin(theta) = (x + i y)
+    P = {}
+    P[(0, 0)] = jnp.ones_like(z)
+    for m in range(1, lmax + 1):
+        # P_mm(cos t) = (2m-1)!! (-1)^m sin^m t; fold sin^m into (x+iy)^m
+        P[(m, m)] = P[(m - 1, m - 1)] * (2 * m - 1)
+    for m in range(0, lmax):
+        P[(m + 1, m)] = z * (2 * m + 1) * P[(m, m)]
+    for m in range(0, lmax + 1):
+        for l in range(m + 2, lmax + 1):
+            P[(l, m)] = ((2 * l - 1) * z * P[(l - 1, m)]
+                         - (l + m - 1) * P[(l - 2, m)]) / (l - m)
+    # (x + i y)^m carries the sin^m(theta) e^{i m phi} factor (P above are
+    # the sin^m-reduced associated Legendre polynomials)
+    expr = [jnp.ones_like(z)]
+    expi = [jnp.zeros_like(z)]
+    for m in range(1, lmax + 1):
+        pr, pi = expr[-1], expi[-1]
+        expr.append(pr * x - pi * y)
+        expi.append(pr * y + pi * x)
+
+    out_r, out_i = [], []
+    for l in range(lmax + 1):
+        rs, iss = [], []
+        for m in range(0, l + 1):
+            nrm = math.sqrt((2 * l + 1) / (4 * math.pi)
+                            * math.factorial(l - m) / math.factorial(l + m))
+            sign = (-1.0) ** m
+            yr = sign * nrm * P[(l, m)] * expr[m]
+            yi = sign * nrm * P[(l, m)] * expi[m]
+            rs.append(yr)
+            iss.append(yi)
+        full_r, full_i = [], []
+        for m in range(-l, 0):
+            # Y_{l,-m} = (-1)^m conj(Y_lm)
+            s = (-1.0) ** m
+            full_r.append(s * rs[-m])
+            full_i.append(-s * iss[-m])
+        full_r += rs
+        full_i += iss
+        out_r.append(jnp.stack(full_r, -1))
+        out_i.append(jnp.stack(full_i, -1))
+    return out_r, out_i
+
+
+def ace_atom_descriptors(disp, jelem, mask, ielem, plan: AcePlan):
+    """Per-atom ACE descriptors B (A_atoms, nlabels_per_mu0-resolved).
+
+    Returns (A_atoms, nlabels) where each label is only 'live' for atoms
+    whose element equals the label's mu0 (others read zero via masking in
+    the calculator's one-hot aggregation).
+    """
+    ar, ai = ace_a_basis(disp, jelem, mask, plan)
+    return ace_b_from_a(ar, ai, plan)
+
+
+def ace_pair_phi(disp, jelem, mask, plan: AcePlan):
+    """Per-pair basis contributions phi (A_atoms, K, nA) complex pair.
+
+    Column layout matches `plan.a_index` (index 0 is a constant ZERO slot
+    here; the A-basis adds the constant 1 after the neighbor sum)."""
+    dtype = disp.dtype
+    safe = jnp.where(mask[..., None], disp, jnp.array([1.0, 0.0, 0.0], dtype))
+    r = jnp.sqrt(jnp.sum(safe * safe, -1))
+    unit = safe / r[..., None]
+    g = chebexpcos_basis(r, plan.rcut, plan.lmbda, plan.nradbase)
+    g = g * mask[..., None]
+    yr, yi = sph_harm(unit, plan.lmax)
+
+    nchem = plan.numtypes
+    chan = jax.nn.one_hot(jelem, nchem, dtype=dtype)       # (A, K, nchem)
+    cols_r = [jnp.zeros(r.shape, dtype)]                   # dummy slot 0
+    cols_i = [jnp.zeros(r.shape, dtype)]
+    items = sorted({(mu, n, l) for (mu, n, l, m) in plan.a_index})
+    for (mu, n, l) in items:
+        base = g[..., n - 1] * chan[..., mu]               # (A, K)
+        for m in range(-l, l + 1):
+            cols_r.append(base * yr[l][..., m + l])
+            cols_i.append(base * yi[l][..., m + l])
+    return jnp.stack(cols_r, -1), jnp.stack(cols_i, -1)
+
+
+def ace_a_basis(disp, jelem, mask, plan: AcePlan):
+    """A-basis: (A_atoms, nA) complex pair (index 0 is the constant 1)."""
+    phr, phi = ace_pair_phi(disp, jelem, mask, plan)
+    A_r = phr.sum(axis=-2)
+    A_i = phi.sum(axis=-2)
+    A_r = A_r.at[..., 0].set(1.0)
+    return A_r, A_i
+
+
+def ace_descriptors_with_jacobian(disp, jelem, mask, ielem, plan: AcePlan):
+    """Per-atom ACE descriptors and per-pair gradients.
+
+    Returns (B (A, nl), dBdD (A, nl, K, 3)); same contract as the SNAP
+    kernel's `descriptors_with_jacobian`.
+    """
+    f = lambda d: ace_pair_phi(d, jelem, mask, plan)
+    phr, phi = f(disp)
+    eye = jnp.eye(3, dtype=disp.dtype)
+    tangents = jnp.broadcast_to(eye[:, None, None, :], (3,) + disp.shape)
+    J = jax.vmap(lambda t: jax.jvp(f, (disp,), (t,))[1])(tangents)
+    Jr, Ji = J                                             # (3, A, K, nA)
+    A_r = phr.sum(axis=-2).at[..., 0].set(1.0)
+    A_i = phi.sum(axis=-2)
+    B, dBdA = ace_b_and_dbda(A_r, A_i, plan)               # (A,nl),(A,nl,2nA)
+    nA = plan.nA
+    Jp = jnp.concatenate([Jr, Ji], -1)                     # (3, A, K, 2nA)
+    dBdD = jnp.einsum("alp,cakp->alkc", dBdA, Jp)
+    # a label belongs to its central element mu0
+    live = (jnp.asarray(plan.t_mu0)[None, :] == ielem[:, None])
+    B = B * live
+    dBdD = dBdD * live[:, :, None, None]
+    return B, dBdD
+
+
+def ace_b_from_a(A_r, A_i, plan: AcePlan):
+    """Multilinear product contraction: A -> B (A_atoms, nlabels), real."""
+    dtype = A_r.dtype
+    fact = jnp.asarray(plan.t_fact)                        # (nterms, R)
+    pr = A_r[..., fact]                                    # (A, nterms, R)
+    pi = A_i[..., fact]
+    cr = pr[..., 0]
+    ci = pi[..., 0]
+    for rr in range(1, plan.rank_max):
+        nr = cr * pr[..., rr] - ci * pi[..., rr]
+        ni = cr * pi[..., rr] + ci * pr[..., rr]
+        cr, ci = nr, ni
+    mm = jnp.asarray(plan.mmat, dtype)
+    return cr @ mm                                         # imaginary sums ~0
+
+
+def ace_b_and_dbda(A_r, A_i, plan: AcePlan):
+    """B and its analytic jacobian dB/dA via leave-one-out products.
+
+    Returns (B (A, nlabels), dBdA (A, nlabels, 2*nA)) with the real/imag A
+    layout [Ar | Ai].  Prefix/suffix complex products give the per-slot
+    cofactors; aggregation into (label, A-index) buckets is a segment-sum
+    with static sorted-by-label ids.
+    """
+    dtype = A_r.dtype
+    nbatch = A_r.shape[:-1]
+    fact = jnp.asarray(plan.t_fact)                        # (T, R)
+    R = plan.rank_max
+    T = fact.shape[0]
+    nA = plan.nA
+    nl = len(plan.labels)
+    pr = A_r[..., fact]
+    pi = A_i[..., fact]
+    # prefix[..., r] = prod_{r'<r}, suffix[..., r] = prod_{r'>r}
+    pre_r = [jnp.ones(nbatch + (T,), dtype)]
+    pre_i = [jnp.zeros(nbatch + (T,), dtype)]
+    for rr in range(1, R):
+        ar, ai = pre_r[-1], pre_i[-1]
+        pre_r.append(ar * pr[..., rr - 1] - ai * pi[..., rr - 1])
+        pre_i.append(ar * pi[..., rr - 1] + ai * pr[..., rr - 1])
+    suf_r = [jnp.ones(nbatch + (T,), dtype)]
+    suf_i = [jnp.zeros(nbatch + (T,), dtype)]
+    for rr in range(R - 2, -1, -1):
+        ar, ai = suf_r[0], suf_i[0]
+        suf_r.insert(0, ar * pr[..., rr + 1] - ai * pi[..., rr + 1])
+        suf_i.insert(0, ar * pi[..., rr + 1] + ai * pr[..., rr + 1])
+    B_r = pre_r[-1] * pr[..., R - 1] - pre_i[-1] * pi[..., R - 1]
+    mm = jnp.asarray(plan.mmat, dtype)
+    B = B_r @ mm
+
+    # cofactor per slot: dprod/dA[f_{t,r}] = prefix * suffix (complex)
+    coef = jnp.asarray(plan.t_coef, dtype)
+    lbl = jnp.asarray(plan.t_label.astype(np.int64))
+    seg = (lbl[:, None] * nA + fact).reshape(-1)           # (T*R,)
+    out_shape = nbatch + (nl * nA,)
+    loo_r = jnp.stack([coef * (pre_r[rr] * suf_r[rr] - pre_i[rr] * suf_i[rr])
+                       for rr in range(R)], -1)            # (.., T, R)
+    loo_i = jnp.stack([coef * (pre_r[rr] * suf_i[rr] + pre_i[rr] * suf_r[rr])
+                       for rr in range(R)], -1)
+    flat_r = loo_r.reshape(nbatch + (T * R,))
+    flat_i = loo_i.reshape(nbatch + (T * R,))
+    # d Re[c * prod] / dA_r = Re[cofactor], / dA_i = -Im[cofactor]
+    dBdAr = jax.vmap(lambda v: jax.ops.segment_sum(v, seg, nl * nA))(
+        flat_r.reshape((-1, T * R))).reshape(out_shape)
+    dBdAi = jax.vmap(lambda v: jax.ops.segment_sum(v, seg, nl * nA))(
+        (-flat_i).reshape((-1, T * R))).reshape(out_shape)
+    dBdA = jnp.concatenate(
+        [dBdAr.reshape(nbatch + (nl, nA)),
+         dBdAi.reshape(nbatch + (nl, nA))], -1)
+    return B, dBdA
