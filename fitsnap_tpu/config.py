@@ -202,6 +202,26 @@ class AceSection:
         self.blank2J = None
 
 
+class CustomSection:
+    """CUSTOM pairwise-descriptor calculator settings
+    (reference `io/sections/calculator_sections/custom.py`)."""
+
+    name = "CUSTOM"
+
+    def __init__(self, r: _Reader):
+        self.numtypes = r.get(self.name, "numTypes", "1", "int")
+        self.types = r.get(self.name, "type", "H").split()
+        self.type_mapping = {t: i + 1 for i, t in enumerate(self.types)}
+        self.num_radial = r.get(self.name, "num_radial", "8", "int")
+        self.num_3body = r.get(self.name, "num_3body", "23", "int")
+        self.cutoff = r.get(self.name, "cutoff", "5.0", "float")
+        self.num_descriptors = self.num_radial + self.num_3body
+        self.ncoeff = self.num_descriptors
+        self.bzeroflag = True
+        self.blist = []
+        self.blank2J = None
+
+
 class CalculatorSection:
     name = "CALCULATOR"
 
@@ -502,8 +522,11 @@ class Config:
         elif r.has_section("ACE"):
             self.sections["ACE"] = AceSection(r)
             desc_section = self.sections["ACE"]
+        elif r.has_section("CUSTOM"):
+            self.sections["CUSTOM"] = CustomSection(r)
+            desc_section = self.sections["CUSTOM"]
         else:
-            raise ValueError("need a BISPECTRUM or ACE section")
+            raise ValueError("need a BISPECTRUM, ACE, or CUSTOM section")
         self.sections["ESHIFT"] = EshiftSection(r, desc_section.types)
         self.sections["PATH"] = PathSection(r, infile_dir)
         pf = self.sections["PATH"].group_file if self.sections["PATH"].has_group_file else None

@@ -39,6 +39,9 @@ def _calculator_factory(config):
     if name == "LAMMPSPACE":
         from fitsnap_tpu.calculators.ace import AceCalculator
         return AceCalculator(name, config)
+    if name == "LAMMPSCUSTOM":
+        from fitsnap_tpu.calculators.custom import CustomCalculator
+        return CustomCalculator(name, config)
     raise NotImplementedError(f"calculator {name}")
 
 
@@ -76,6 +79,9 @@ def _output_factory(config):
     if style == "PACE":
         from fitsnap_tpu.io.outputs.pace_output import PaceOutput
         return PaceOutput(style, config)
+    if style == "CUSTOM":
+        from fitsnap_tpu.io.outputs.custom_output import CustomOutput
+        return CustomOutput(style, config)
     raise NotImplementedError(f"output style {style}")
 
 

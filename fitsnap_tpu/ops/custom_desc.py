@@ -1,0 +1,61 @@
+"""Custom pairwise descriptors: Bessel radial + Gaussian 3-body (JAX).
+
+Formula parity with reference `lib/neural_networks/descriptors/bessel.py`
+and `g3b.py`:
+  g_n(r)  = sqrt(2/c) sin(n pi r / c)/r * fc(r),          n = 1..num_radial
+  fc(r)   = 1 (r < 3.5) else 0.5 + 0.5 cos(pi (r-3.5)/(c-3.5))
+  d_m(ij) = sum_{k != j} exp(-eta (cos(theta_jik) - mu_m)^2) fc(r_ik),
+            mu = linspace(-1, 1, num_3body), eta = 4
+
+These are computed INSIDE the model (reference `pairwise.py:88`), so forces
+come from autodiff w.r.t. displacements.
+"""
+
+import jax.numpy as jnp
+
+RMIN_CUT = 3.5
+ETA = 4.0
+
+
+def cutoff_function(r, c):
+    ramp = 0.5 + 0.5 * jnp.cos(jnp.pi * (r - RMIN_CUT) / (c - RMIN_CUT))
+    return jnp.where(r > RMIN_CUT, ramp, 1.0)
+
+
+def bessel_basis(r, fc, c, num_radial):
+    """(..., num_radial) radial Bessel functions."""
+    n = jnp.arange(1, num_radial + 1, dtype=r.dtype)
+    rb = jnp.sqrt(2.0 / c) * jnp.sin((n * jnp.pi / c) * r[..., None]) \
+        / r[..., None]
+    return rb * fc[..., None]
+
+
+def g3b_basis(diff_unit, fc, mask, num_3body):
+    """Gaussian 3-body descriptors per pair.
+
+    diff_unit: (A, K, 3) normalized displacements; fc: (A, K) cutoffs of the
+    *k* legs; mask: (A, K).  For pair (i,j): sum over k != j of
+    exp(-eta (u_ij . u_ik - mu)^2) fc_ik.
+    """
+    dtype = diff_unit.dtype
+    mu = jnp.linspace(-1.0, 1.0, num_3body).astype(dtype)
+    cosjk = jnp.einsum("...kc,...lc->...kl", diff_unit, diff_unit)
+    K = diff_unit.shape[-2]
+    eye = jnp.eye(K, dtype=dtype)
+    gauss = jnp.exp(-ETA * (cosjk[..., None] - mu) ** 2)      # (.., K, K, M)
+    gauss = gauss * (1.0 - eye)[..., :, :, None]              # zero k == j
+    wk = (fc * mask)[..., None, :, None]                      # over k axis
+    return (gauss * wk).sum(axis=-2)                          # (.., K, M)
+
+
+def pair_descriptors(disp, mask, cutoff, num_radial, num_3body):
+    """Concatenated per-pair descriptors (A, K, num_radial + num_3body)."""
+    dtype = disp.dtype
+    safe = jnp.where(mask[..., None], disp,
+                     jnp.array([2.0 * RMIN_CUT, 0.0, 0.0], dtype))
+    r = jnp.sqrt(jnp.sum(safe * safe, -1))
+    unit = safe / r[..., None]
+    fc = cutoff_function(r, cutoff) * mask
+    rbf = bessel_basis(r, fc, cutoff, num_radial)
+    g3 = g3b_basis(unit, cutoff_function(r, cutoff), mask, num_3body)
+    return jnp.concatenate([rbf, g3], axis=-1) * mask[..., None]

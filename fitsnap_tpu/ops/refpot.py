@@ -161,7 +161,7 @@ def parse_reference(section, ntypes) -> RefSpec:
             styles[name] = args
     else:
         name = toks[0]
-        styles[name] = [float(x) for x in toks[1:]]
+        styles[name] = [float(x) for x in toks[1:] if _is_num(x)]
 
     for name in styles:
         if name not in ("zero", "zbl", "spin/exchange/biquadratic"):

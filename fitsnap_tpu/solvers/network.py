@@ -32,6 +32,7 @@ class NetworkSolver(Solver):
     def __init__(self, name, config):
         super().__init__(name, config, linear=False)
         self.net = _net_section(config)
+        self.pairwise = "CUSTOM" in config.sections
         self.buckets = None     # list of per-bucket dataset dicts
         self.mean = None
         self.std = None
@@ -46,6 +47,8 @@ class NetworkSolver(Solver):
         from fitsnap_tpu.ops.snap import descriptors_with_jacobian
         from fitsnap_tpu.ops.refpot import reference_eav
 
+        if self.pairwise:
+            return self._prepare_pairwise(calculator, data)
         packed, shape_buckets = calculator.host_preprocess(data)
         params = calculator.params
         refspec = calculator.refspec
@@ -149,6 +152,105 @@ class NetworkSolver(Solver):
         self.std = jnp.asarray(std, dtype)
         return self.buckets
 
+    def _prepare_pairwise(self, calculator, data):
+        """Pairwise (CUSTOM) mode: keep raw displacement tensors; the model
+        computes Bessel/G3b descriptors inside the forward pass
+        (reference `lib/neural_networks/pairwise.py`)."""
+        from fitsnap_tpu.ops.custom_desc import pair_descriptors
+        from fitsnap_tpu.ops.refpot import reference_eav
+
+        packed, shape_buckets = calculator.host_preprocess(data)
+        sec = calculator.sec
+        dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+        self.buckets = []
+        s1 = s2 = None
+        count = 0
+        for (a_pad, k_pad), idxs in sorted(shape_buckets.items()):
+            n = len(idxs)
+            disp = np.zeros((n, a_pad, k_pad, 3), dtype)
+            jidx = np.zeros((n, a_pad, k_pad), np.int32)
+            mask = np.zeros((n, a_pad, k_pad), bool)
+            types = np.zeros((n, a_pad), np.int32)
+            nat = np.zeros((n,), np.int32)
+            e_t = np.zeros((n,), dtype)
+            f_t = np.zeros((n, a_pad, 3), dtype)
+            ew = np.zeros((n,), dtype)
+            fw = np.zeros((n,), dtype)
+            test = np.zeros((n,), bool)
+            groups = []
+            for j, i in enumerate(idxs):
+                pc = packed[i]
+                na, kc = pc.natoms, pc.kcount
+                disp[j, :na, :kc] = pc.disp[:, :kc]
+                jidx[j, :na, :kc] = pc.jidx[:, :kc]
+                mask[j, :na, :kc] = pc.mask[:, :kc]
+                types[j, :na] = pc.types
+                nat[j] = na
+                d = pc.data
+                e_t[j] = d["Energy"]
+                f_t[j, :na] = d["Forces"]
+                ew[j] = d.get("eweight", 1.0)
+                fw[j] = d.get("fweight", 1.0)
+                test[j] = bool(d["test_bool"])
+                groups.append(d["Group"])
+            real = (np.arange(a_pad)[None, :] < nat[:, None])
+            desc = np.asarray(pair_descriptors(
+                jnp.asarray(disp), jnp.asarray(mask), sec.cutoff,
+                sec.num_radial, sec.num_3body))
+            dm = np.asarray(mask)
+            flat = desc[dm]
+            s1 = flat.sum(0) if s1 is None else s1 + flat.sum(0)
+            s2 = (flat ** 2).sum(0) if s2 is None else s2 + (flat ** 2).sum(0)
+            count += flat.shape[0]
+            self.buckets.append({
+                "disp": jnp.asarray(disp), "jidx": jnp.asarray(jidx),
+                "mask": jnp.asarray(mask), "types": jnp.asarray(types),
+                "nat": jnp.asarray(nat), "real": jnp.asarray(real),
+                "e_target": jnp.asarray(e_t / np.maximum(nat, 1)),
+                "f_target": jnp.asarray(f_t),
+                "ew": jnp.asarray(ew), "fw": jnp.asarray(fw),
+                "test": test, "groups": groups, "nat_host": nat,
+                "shape": (a_pad, k_pad), "dtype": dtype,
+            })
+        mean = s1 / count
+        var = s2 / count - mean ** 2
+        std = np.sqrt(np.clip(var, 0, None))
+        std[std < 1e-8] = 1.0
+        self.mean = jnp.asarray(mean, dtype)
+        self.std = jnp.asarray(std, dtype)
+        self._custom_sec = sec
+        return self.buckets
+
+    def _forward_pairwise(self, params, batch):
+        """Per-atom-normalized energies + autodiff forces, pairwise model."""
+        from fitsnap_tpu.ops.custom_desc import pair_descriptors
+
+        sec = self._custom_sec
+        disp = batch["disp"]
+        mask = batch["mask"].astype(disp.dtype)
+        elem = batch["types"]
+        nat = jnp.maximum(batch["nat"], 1).astype(disp.dtype)
+
+        def config_energy(d, m, el):
+            desc = pair_descriptors(d, m.astype(bool), sec.cutoff,
+                                    sec.num_radial, sec.num_3body)
+            x = (desc - self.mean) / self.std
+            e_pair = atom_energies(params, x, el[:, None] * jnp.ones(
+                m.shape, jnp.int32))
+            return jnp.sum(e_pair * m)
+
+        def one(d, m, el):
+            e, g = jax.value_and_grad(config_energy)(d, m, el)
+            return e, g
+
+        e, g = jax.vmap(one)(disp, mask, elem)
+        e_per_atom = e / nat
+        A = disp.shape[1]
+        oj = jax.nn.one_hot(batch["jidx"], A, dtype=disp.dtype)
+        scat = jnp.einsum("nakm,nakc->nmc", oj, g)
+        forces = -(scat - g.sum(axis=2))
+        return e_per_atom, forces
+
     # ------------- model -------------
 
     def _forward_batch(self, params, batch):
@@ -177,14 +279,18 @@ class NetworkSolver(Solver):
 
     _BATCH_KEYS = ("B", "G", "types", "real", "nat", "jidx",
                    "e_target", "f_target", "ew", "fw")
+    _BATCH_KEYS_PW = ("disp", "mask", "types", "real", "nat", "jidx",
+                      "e_target", "f_target", "ew", "fw")
 
-    @staticmethod
-    def _gather(ds, idx):
-        return {k: ds[k][idx] for k in NetworkSolver._BATCH_KEYS}
+    def _gather(self, ds, idx):
+        keys = self._BATCH_KEYS_PW if self.pairwise else self._BATCH_KEYS
+        return {k: ds[k][idx] for k in keys}
 
     def _loss(self, params, batch):
         net = self.net
-        e_pred, f_pred = self._forward_batch(params, batch)
+        fwd = self._forward_pairwise if self.pairwise \
+            else self._forward_batch
+        e_pred, f_pred = fwd(params, batch)
         real = batch["real"].astype(e_pred.dtype)
         live = (batch["nat"] > 0).astype(e_pred.dtype)
         nfc = jnp.maximum((real.sum(1) * 3 * live).sum(), 1.0)
@@ -212,9 +318,10 @@ class NetworkSolver(Solver):
             self.prepare_dataset(calculator, data)
         net = self.net
 
-        nelem_net = (self.config.sections.get("BISPECTRUM")
-                     or self.config.sections.get("ACE")).numtypes \
-            if net.multi_element_option == 2 else 1
+        desc_sec = (self.config.sections.get("BISPECTRUM")
+                    or self.config.sections.get("ACE")
+                    or self.config.sections.get("CUSTOM"))
+        nelem_net = desc_sec.numtypes if net.multi_element_option == 2 else 1
         if net.multi_element_option != 2:
             for ds in self.buckets:
                 ds["types"] = jnp.zeros_like(ds["types"])
@@ -227,6 +334,12 @@ class NetworkSolver(Solver):
         # network doesn't spend epochs learning the cohesive-energy offset
         e_mean = float(np.mean(np.concatenate(
             [np.asarray(ds["e_target"]) for ds in self.buckets])))
+        if self.pairwise:
+            # pairwise models sum per-PAIR energies: scale by pairs/atom
+            pairs = sum(float(np.asarray(ds["mask"]).sum())
+                        for ds in self.buckets)
+            atoms = sum(float(ds["nat_host"].sum()) for ds in self.buckets)
+            e_mean = e_mean / max(pairs / max(atoms, 1.0), 1.0)
         w_last, b_last = self.params[-1]
         self.params[-1] = (w_last, b_last + e_mean)
 
@@ -311,8 +424,9 @@ class NetworkSolver(Solver):
 
     def evaluate_bucket(self, ds, chunk=32):
         """Predictions for every config in one bucket."""
-        n = int(ds["B"].shape[0])
-        fwd = jax.jit(self._forward_batch)
+        n = int(ds["nat"].shape[0])
+        fwd = jax.jit(self._forward_pairwise if self.pairwise
+                      else self._forward_batch)
         es, fs_ = [], []
         for c0 in range(0, n, chunk):
             idx = np.arange(c0, min(n, c0 + chunk))
