@@ -240,12 +240,13 @@ def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec,
     ti = jnp.broadcast_to(types[:, None], jidx.shape)
     tj = types[jidx]
 
-    def total_energy(d):
+    def part_energies(d):
         safe = jnp.where(mask[..., None], d, jnp.array([1.0, 0.0, 0.0], d.dtype))
         r = jnp.sqrt(jnp.sum(safe * safe, -1))
-        e = jnp.zeros_like(r)
+        e_v = jnp.zeros_like(r)     # styles that tally virial
+        e_nv = jnp.zeros_like(r)    # spin styles: energy+force, NO virial
         if spec.zbl is not None:
-            e = e + zbl_pair_energy(r, ti, tj, spec.zbl)
+            e_v = e_v + zbl_pair_energy(r, ti, tj, spec.zbl)
         if spec.spin is not None and spins is not None:
             sp = spec.spin
             dots = jnp.einsum("ac,akc->ak", spins, spins[jidx])
@@ -253,18 +254,26 @@ def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec,
             es = -(_bethe_slater(r, sp.aj, sp.gj, sp.dj) * (dots - off)
                    + _bethe_slater(r, sp.ak, sp.gk, sp.dk)
                    * (dots ** 2 - off))
-            e = e + jnp.where(r < sp.rc, es, 0.0)
-        e = jnp.where(mask, e, 0.0)
-        return 0.5 * jnp.sum(e)
+            e_nv = e_nv + jnp.where(r < sp.rc, es, 0.0)
+        e_v = jnp.where(mask, e_v, 0.0)
+        e_nv = jnp.where(mask, e_nv, 0.0)
+        return 0.5 * jnp.sum(e_v), 0.5 * jnp.sum(e_nv)
 
-    energy, g = jax.value_and_grad(total_energy)(disp)
+    (e_v, e_nv), vjp = jax.vjp(part_energies, disp)
+    one = jnp.ones((), disp.dtype)
+    g_total, = vjp((one, one))
+    g_vir, = vjp((one, jnp.zeros((), disp.dtype)))
+    energy = e_v + e_nv
     # dE/dx_n = scatter_j(g) - rowsum_i(g);  F = -dE/dx
     # (one-hot matmul instead of scatter: see calculators/snap.py)
     oj = jax.nn.one_hot(jidx, A, dtype=disp.dtype)
-    scat = jnp.einsum("ikn,ikc->nc", oj, g)
-    forces = -(scat - g.sum(axis=1))
+    scat = jnp.einsum("ikn,ikc->nc", oj, g_total)
+    forces = -(scat - g_total.sum(axis=1))
     pairs_a = jnp.array([0, 1, 2, 1, 0, 0])
     pairs_b = jnp.array([0, 1, 2, 2, 2, 1])
-    virial = -jnp.einsum("ika,ikb->ab", disp * mask[..., None].astype(disp.dtype), g)
+    # LAMMPS magnetic pair styles do not tally virial (validated against the
+    # Fe Truth-Ref oracle): pressure reference uses non-spin terms only
+    virial = -jnp.einsum("ika,ikb->ab",
+                         disp * mask[..., None].astype(disp.dtype), g_vir)
     virial6 = virial[pairs_a, pairs_b]
     return energy, forces, virial6
