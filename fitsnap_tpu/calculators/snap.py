@@ -171,6 +171,12 @@ class SnapCalculator:
         self._jit_cache[key] = fn
         return fn
 
+    def process_single(self, data, dtype=np.float64):
+        """Per-config rows (a, b, w) for library mode
+        (reference `lammps_base.py:101` / `lammps_snap.py:224`)."""
+        a, b, w, _ = self.process_configs([data], dtype)
+        return a, b, w
+
     # ---------------- assembly ----------------
 
     def process_configs(self, data: list, dtype=np.float64):

@@ -418,6 +418,19 @@ class NetworkSolver(Solver):
                 "std": np.asarray(self.std),
                 "multi_element_option": net.multi_element_option,
             })
+        if (not self.pairwise and net.output_file
+                and net.output_file != "None"):
+            # LAMMPS ML-IAP deployment module (torch is an export-time-only
+            # dependency; reference `lib/neural_networks/pytorch.py:250`)
+            try:
+                from fitsnap_tpu.io.export_torch import export_mliap
+                out = net.output_file
+                if not out.endswith(".pt"):
+                    out += ".pt"
+                export_mliap(out, self.params, np.asarray(self.mean),
+                             np.asarray(self.std), nelem_net)
+            except ModuleNotFoundError:
+                pass
         return self.params
 
     # ------------- evaluation / errors -------------
