@@ -102,47 +102,47 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
 
     live = (natoms > 0).astype(dtp)
     W = e_row.shape[0]
-    # Per-config outer products run in the compute dtype (f32 MXU); only the
-    # final per-config result upcasts to the accumulation dtype.  Full-f64
-    # products would drag the whole graph through the TPU X64 rewrite
-    # (~50x slower executable); per-config f32 products keep errors relative
-    # to each config's own magnitude, which the f64 cross-config sum then
-    # preserves.
+    # Accumulate the normal equations at higher precision than the rows:
+    # descriptor FLOPs stay f32 on the MXU, the W^2-sized outer products are
+    # a negligible FLOP fraction and f64 emulation on TPU is cheap there.
     adt = accum_dtype or dtp
-    AtA = jnp.zeros((W, W), dtp)
-    Atb = jnp.zeros((W,), dtp)
+    AtA = jnp.zeros((W, W), adt)
+    Atb = jnp.zeros((W,), adt)
     nrows = jnp.zeros((), dtp)
     if flags["energy"]:
-        we = eweight * live
+        we = (eweight * live).astype(adt)
         b_e = energy / nat_safe
         if coeff is not None:
             b_e = b_e - e_row @ coeff
+        e64 = e_row.astype(adt)
         if with_ata:
-            AtA += we ** 2 * jnp.outer(e_row, e_row)
-        Atb += we ** 2 * e_row * b_e
+            AtA += we ** 2 * jnp.outer(e64, e64)
+        Atb += we ** 2 * e64 * b_e.astype(adt)
         nrows += live
     if flags["force"]:
         frow_mask = jnp.repeat(real, 3)
-        wf = fweight * frow_mask * live
-        fw = f_rows * wf[:, None]
+        wf = (fweight * frow_mask * live).astype(adt)
+        f64r = f_rows.astype(adt)
+        fw = f64r * wf[:, None]
         b_f = forces.reshape(-1)
         if coeff is not None:
             b_f = b_f - f_rows @ coeff
         if with_ata:
             AtA += fw.T @ fw
-        Atb += fw.T @ (wf * b_f)
+        Atb += fw.T @ (wf * b_f.astype(adt))
         nrows += 3 * natoms * live
     if flags["stress"]:
-        wv = vweight * live
-        vw = v_rows * wv
+        wv = (vweight * live).astype(adt)
+        v64 = v_rows.astype(adt)
+        vw = v64 * wv
         b_v = stress6
         if coeff is not None:
             b_v = b_v - v_rows @ coeff
         if with_ata:
             AtA += vw.T @ vw
-        Atb += vw.T @ (wv * b_v)
+        Atb += vw.T @ (wv * b_v.astype(adt))
         nrows += 6 * live
-    return AtA.astype(adt), Atb.astype(adt), nrows
+    return AtA, Atb, nrows
 
 
 def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None):
