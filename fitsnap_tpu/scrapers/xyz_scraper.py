@@ -6,9 +6,7 @@ Each group is one `<group>.xyz` / `<group>.extxyz` file of frames:
                     energy=..., stress="9 floats", pbc="T T T")
   natoms atom lines per the Properties column spec.
 
-Parity notes: QMLattice is the parsed 3x3 WITHOUT transpose (the JSON
-scraper transposes; the reference XYZ path does not, `xyz_scraper.py:465`),
-and scraped output is ordered training-first then testing
+Parity note: scraped output is ordered training-first then testing
 (`xyz_scraper.py:496-499`).
 """
 
@@ -171,8 +169,10 @@ class XyzScraper(Scraper):
             data["NumAtoms"] = natoms
             data["Group"] = key
             data["File"] = fname.split("/")[-1]
-            # parity: the reference XYZ path does NOT transpose here
-            data["QMLattice"] = lat * self.conversions["Lattice"]
+            # extxyz Lattice rows are lattice vectors; QMLattice wants them
+            # as columns (transpose validated against the Ta_XYZ
+            # 19Nov19_Standard to 3e-13)
+            data["QMLattice"] = (lat * self.conversions["Lattice"]).T
             eshift = self.config.sections["ESHIFT"].eshift
             if eshift:
                 for atom in data["AtomTypes"]:
