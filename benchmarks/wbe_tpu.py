@@ -57,7 +57,7 @@ def main():
     nrows_total = 0.0
     t_compute = 0.0
     for (a_pad, k_pad), idxs in sorted(buckets.items()):
-        csize = max(1, min(16, (1 << 28) // (a_pad * k_pad * 570 * 4 * 3)))
+        csize = max(1, min(16, (1 << 27) // (a_pad * max(k_pad, 96) * 570 * 4 * 3)))
         per = mesh.devices.size * csize
         chunks = -(-len(idxs) // per)
         batch = pack_batch([packed[i] for i in idxs], a_pad, k_pad,
