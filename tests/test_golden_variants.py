@@ -47,6 +47,16 @@ def test_ta_quadratic_golden(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
+                    reason="~12 min; set FITSNAP_TPU_SLOW_TESTS=1")
+def test_fe_spin_golden(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ex = REFERENCE / "examples/Fe_Linear_NPJ2021"
+    fs = _run(ex / "Fe-example.in")
+    std = read_snapcoeff(ex / "20May21_Standard/Fe_pot.snapcoeff")
+    assert np.abs(fs.solver.fit - std).max() < 1e-6
+
+
+@pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
                     reason="25k configs; set FITSNAP_TPU_SLOW_TESTS=1")
 def test_wbe_golden(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
