@@ -300,7 +300,7 @@ def build_snap_plan(
     # formula; its value equals the symmetry image, keeping the contraction
     # with full `du` tensors a plain dense dot).
     z_dense = y_src = y_fac = None
-    if nchem == 1:
+    if True:  # y-list plan (channel pairing for chem handled in the kernel)
         z_triples = []
         for j1 in range(twojmax + 1):
             for j2 in range(j1 + 1):

@@ -451,17 +451,107 @@ def descriptors_with_jacobian(disp, jelem, mask, ielem, p: SnapParams):
         else:
             B = Bbase
     else:
-        # chemflag path: per-atom jacobian of the contraction via jacrev
-        # (correct for element-channel structure; slower — optimized later
-        # with permuted-element z-lists).
-        bext = lambda u: _bext_single(u, plan)
-        B = jax.vmap(bext)(ut)
-        dBdu = jax.vmap(jax.jacrev(bext))(ut)       # (A, next, nchem*2U)
-        dBduc = dBdu.reshape(dBdu.shape[0], dBdu.shape[1], nchem,
-                             2 * plan.u_len)
+        # chemflag path: the dbidrj identity generalizes with element-channel
+        # pairing — z-lists per ordered channel pair (ea, eb), and the three
+        # jacobian layers of block (e1,e2,e3) read z^(e1,e2), z^(e3,e2),
+        # z^(e3,e1) into channels e3, e1, e2 respectively.
+        B, dBduc = _chem_b_and_dbdu(ut, plan)       # (A,W),(A,W,nchem,2U)
+        if plan.quadraticflag:
+            raise NotImplementedError("quadratic chemsnap")
         oh = jax.nn.one_hot(jelem, nchem, dtype=disp.dtype)   # (A, K, nchem)
         dBdD = jnp.einsum("awnu,akn,caku->awkc", dBduc, oh, J)
     return B, dBdD
+
+
+def _chem_b_and_dbdu(ut, plan: SnapPlan):
+    """Chem (EME) descriptors + analytic dB/dutot via channel-paired z-lists.
+
+    ut: (A, nchem*2U) with layout (chem, 2U).  Returns
+    (B (A, nb_base), dBdu (A, nb_base, nchem, 2U)).
+    """
+    dtype = ut.dtype
+    A = ut.shape[0]
+    U = plan.u_len
+    nc = plan.nelements
+    ntrip = plan.ntriples
+    uc = ut.reshape(A, nc, 2, U)
+
+    # z-lists for every ordered channel pair
+    zpair = {}
+    for ea in range(nc):
+        for eb in range(nc):
+            zpair[(ea, eb)] = _compute_zcat_pair(
+                uc[:, ea, 0], uc[:, ea, 1], uc[:, eb, 0], uc[:, eb, 1], plan)
+
+    src = plan.y_src
+    fac = plan.y_fac
+    s0 = jnp.asarray(src[0])
+    s1 = jnp.asarray(src[1])
+    s2 = jnp.asarray(src[2])
+    f0 = jnp.asarray(fac[0], dtype)
+    f1 = jnp.asarray(fac[1], dtype)
+    f2 = jnp.asarray(fac[2], dtype)
+
+    blocks_y = []     # per (e1,e2,e3): (A, ntrip, nc, U) x2
+    blocks_B = []
+    for e1 in range(nc):
+        for e2 in range(nc):
+            for e3 in range(nc):
+                z0r, z0i = zpair[(e1, e2)]
+                z1r, z1i = zpair[(e3, e2)]
+                z2r, z2i = zpair[(e3, e1)]
+                # per-channel accumulation (static loop, no scatter)
+                chan_r, chan_i = [], []
+                for c in range(nc):
+                    yr = jnp.zeros((A, ntrip, U), dtype)
+                    yi = jnp.zeros((A, ntrip, U), dtype)
+                    if c == e3:
+                        yr = yr + f0 * z0r[:, s0]
+                        yi = yi + f0 * z0i[:, s0]
+                    if c == e1:
+                        yr = yr + f1 * z1r[:, s1]
+                        yi = yi + f1 * z1i[:, s1]
+                    if c == e2:
+                        yr = yr + f2 * z2r[:, s2]
+                        yi = yi + f2 * z2i[:, s2]
+                    chan_r.append(yr)
+                    chan_i.append(yi)
+                yb = jnp.stack(
+                    [jnp.concatenate([r, i], -1)
+                     for r, i in zip(chan_r, chan_i)], 2)  # (A,ntrip,nc,2U)
+                blocks_y.append(yb)
+                # B for this block: contraction of the fac0 layer with u_e3
+                Bb = (jnp.einsum("au,atu->at", uc[:, e3, 0], f0 * z0r[:, s0])
+                      + jnp.einsum("au,atu->at", uc[:, e3, 1],
+                                   f0 * z0i[:, s0]))
+                blocks_B.append(Bb)
+    dBdu = jnp.concatenate(blocks_y, axis=1)         # (A, nb_base, nc, 2U)
+    B = jnp.concatenate(blocks_B, axis=1)            # (A, nb_base)
+    if plan.bzeroflag:
+        B = B - jnp.asarray(plan.bzero, dtype)[None, :]
+    return B, dBdu
+
+
+def _compute_zcat_pair(u1r, u1i, u2r, u2i, plan: SnapPlan):
+    """z-list with u1 from one channel, u2 from another (chem pairing)."""
+    dtype = u1r.dtype
+    A = u1r.shape[0]
+    zd = plan.z_dense
+    g1 = jnp.asarray(zd["g1"])
+    g2 = jnp.asarray(zd["g2"])
+    Cma = jnp.asarray(zd["C_ma"], dtype)
+    Cmb = jnp.asarray(zd["C_mb"], dtype)
+    a_r, a_i = u1r[:, g1], u1i[:, g1]
+    b_r, b_i = u2r[:, g2], u2i[:, g2]
+    t1r = jnp.einsum("atck,tmjk->atcmj", b_r, Cma)
+    t1i = jnp.einsum("atck,tmjk->atcmj", b_i, Cma)
+    t2r = jnp.einsum("atbj,atcmj->atbcm", a_r, t1r) \
+        - jnp.einsum("atbj,atcmj->atbcm", a_i, t1i)
+    t2i = jnp.einsum("atbj,atcmj->atbcm", a_r, t1i) \
+        + jnp.einsum("atbj,atcmj->atbcm", a_i, t1r)
+    zr = jnp.einsum("tnbc,atbcm->atnm", Cmb, t2r)
+    zi = jnp.einsum("tnbc,atbcm->atnm", Cmb, t2i)
+    return zr.reshape(A, -1), zi.reshape(A, -1)
 
 
 def _bspec_rows(ut, plan: SnapPlan):

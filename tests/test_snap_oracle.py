@@ -119,3 +119,31 @@ def test_jacobian_vs_autodiff(ta_rows):
     Gad = np.array(Gad)
     for a in range(n):
         assert np.abs(Gad[:, a] - Gy[a].transpose(0, 1, 2)).max() < 1e-10
+
+
+def test_chemflag_jacobian_vs_autodiff():
+    """Chem (EME) channel-paired y-list == reverse-mode autodiff."""
+    import jax
+    from fitsnap_tpu.ops.cg import build_snap_plan
+    from fitsnap_tpu.ops.snap import (SnapParams, atom_descriptors,
+                                      descriptors_with_jacobian)
+
+    plan = build_snap_plan(twojmax=4, nelements=2, chemflag=True,
+                           bnormflag=True, bzeroflag=True, wselfallflag=True)
+    p = SnapParams(plan=plan, rcutfac=4.6, rfac0=0.99, rmin0=0.0,
+                   switchflag=True, switchinnerflag=False,
+                   wj=np.array([1.0, 0.93]), radelem=np.array([0.5, 0.45]))
+    rng = np.random.default_rng(3)
+    A, K = 3, 6
+    disp = jnp.asarray(rng.normal(size=(A, K, 3)) * 1.2 + np.array([2.0, 0, 0]))
+    mask = jnp.ones((A, K), bool)
+    jelem = jnp.asarray(rng.integers(0, 2, (A, K)))
+    ielem = jnp.asarray(rng.integers(0, 2, (A,)))
+    B, G = descriptors_with_jacobian(disp, jelem, mask, ielem, p)
+    B2 = atom_descriptors(disp, jelem, mask, ielem, p)
+    assert float(jnp.abs(B - B2).max()) < 1e-12
+    Gad = np.asarray(jax.jacrev(
+        lambda d: atom_descriptors(d, jelem, mask, ielem, p).sum(0))(disp))
+    G = np.asarray(G)
+    for a in range(A):
+        assert np.abs(Gad[:, a] - G[a]).max() < 1e-12
