@@ -12,7 +12,9 @@ import numpy as np
 
 from fitsnap_tpu.calculators.snap import (PackedConfig, _A_BUCKETS,
                                           _K_BUCKETS, _pad_to, TOBAR)
-from fitsnap_tpu.ops.ace import ace_descriptors_with_jacobian, build_ace_plan
+from fitsnap_tpu.ops.ace import (ace_atom_descriptors,
+                                 ace_descriptors_with_jacobian,
+                                 build_ace_plan)
 from fitsnap_tpu.ops.neighbors import host_neighbors
 from fitsnap_tpu.ops.refpot import parse_reference, reference_eav
 from fitsnap_tpu.utils.jaxsetup import setup_cache
@@ -44,6 +46,47 @@ class AceCalculator:
         if not self.sec.bzeroflag:
             w += self.numtypes
         return w
+
+    def nn_prep_fn(self):
+        """Per-config (B, G, ref_e, ref_f) builder for the NN solver
+        (ACE analog of SnapCalculator.nn_prep_fn; reference
+        lammps_pace.py dgradflag=1 rows)."""
+        plan = self.plan
+        refspec = self.refspec
+        cutoff = plan.rcut
+
+        def prep(disp, jidx, mask, types, natoms):
+            A = disp.shape[0]
+            dtp = disp.dtype
+            r2 = jnp.sum(disp * disp, -1)
+            smask = mask & (r2 < cutoff * cutoff)
+            real = (jnp.arange(A) < natoms).astype(dtp)
+            B, G = ace_descriptors_with_jacobian(disp, types[jidx], smask,
+                                                 types, plan)
+            B = B * real[:, None]
+            G = G * real[:, None, None, None]
+            re_, rf_, _ = reference_eav(disp, jidx, mask, types, natoms,
+                                        refspec)
+            return B, G, re_, rf_
+
+        return prep
+
+    def nn_desc_fn(self):
+        """Per-config per-atom ACE descriptors only (PAS mode; reference
+        lammps_pace.py:145-150 stores per-atom Chis truths)."""
+        plan = self.plan
+        cutoff = plan.rcut
+
+        def prep(disp, jidx, mask, types, natoms):
+            A = disp.shape[0]
+            dtp = disp.dtype
+            r2 = jnp.sum(disp * disp, -1)
+            smask = mask & (r2 < cutoff * cutoff)
+            real = (jnp.arange(A) < natoms).astype(dtp)
+            B = ace_atom_descriptors(disp, types[jidx], smask, types, plan)
+            return B * real[:, None]
+
+        return prep
 
     def _pack(self, data):
         types = np.array(

@@ -85,6 +85,58 @@ class SnapCalculator:
             w += sec.numtypes
         return w
 
+    def nn_prep_fn(self):
+        """Per-config (B, G, ref_e, ref_f) builder for the NN solver.
+
+        Returns per-atom descriptors, the per-pair descriptor jacobian
+        (the reference's dgradflag=1 rows, lammps_snap.py:112-222), and the
+        reference-potential energy/forces to subtract from truths.
+        """
+        from fitsnap_tpu.ops.snap import descriptors_with_jacobian
+
+        params = self.params
+        refspec = self.refspec
+
+        def prep(disp, jidx, mask, types, natoms):
+            A = disp.shape[0]
+            dtp = disp.dtype
+            radelem = jnp.asarray(params.radelem, dtp)
+            rcutij = (radelem[types][:, None] + radelem[types[jidx]]) \
+                * params.rcutfac
+            r2 = jnp.sum(disp * disp, -1)
+            smask = mask & (r2 < rcutij * rcutij)
+            real = (jnp.arange(A) < natoms).astype(dtp)
+            B, G = descriptors_with_jacobian(disp, types[jidx], smask,
+                                             types, params)
+            B = B * real[:, None]
+            G = G * real[:, None, None, None]
+            re_, rf_, _ = reference_eav(disp, jidx, mask, types, natoms,
+                                        refspec)
+            return B, G, re_, rf_
+
+        return prep
+
+    def nn_desc_fn(self):
+        """Per-config per-atom descriptors only (PAS mode: fitting per-atom
+        scalars needs no force jacobian; reference calculator.py:103-108)."""
+        from fitsnap_tpu.ops.snap import atom_descriptors
+
+        params = self.params
+
+        def prep(disp, jidx, mask, types, natoms):
+            A = disp.shape[0]
+            dtp = disp.dtype
+            radelem = jnp.asarray(params.radelem, dtp)
+            rcutij = (radelem[types][:, None] + radelem[types[jidx]]) \
+                * params.rcutfac
+            r2 = jnp.sum(disp * disp, -1)
+            smask = mask & (r2 < rcutij * rcutij)
+            real = (jnp.arange(A) < natoms).astype(dtp)
+            B = atom_descriptors(disp, types[jidx], smask, types, params)
+            return B * real[:, None]
+
+        return prep
+
     # ---------------- packing ----------------
 
     def _pack(self, data: dict) -> PackedConfig:

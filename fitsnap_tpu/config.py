@@ -193,6 +193,9 @@ class AceSection:
         self.rcinner = [float(x) for x in r.get(self.name, "rcinner", "0.0").split()]
         self.drcinner = [float(x) for x in r.get(self.name, "drcinner", "0.01").split()]
         self.lmin = [int(x) for x in r.get(self.name, "lmin", "0").split()]
+        # a single lmin applies to every rank (reference ace.py:83-84)
+        if len(self.lmin) == 1:
+            self.lmin = self.lmin * len(self.ranks)
         self.bzeroflag = r.get(self.name, "bzeroflag", "1", "bool")
         self.erefs = [float(x) for x in r.get(self.name, "erefs", " ".join(["0.0"] * self.numtypes)).split()]
         self.bikflag = r.get(self.name, "bikflag", "0", "bool")
@@ -234,6 +237,15 @@ class CalculatorSection:
         self.stress = r.get(self.name, "stress", "True", "bool")
         self.nonlinear = r.get(self.name, "nonlinear", "False", "bool")
         self.linear = not self.nonlinear
+        # reference calculator.py:42-45: PAS excludes energies/forces and
+        # requires a nonlinear solver
+        if self.per_atom_scalar and (self.force or self.energy):
+            raise ValueError(
+                "per_atom_scalar fitting cannot be combined with "
+                "energy/force fitting")
+        if self.per_atom_scalar and self.linear:
+            raise ValueError("per_atom_scalar fitting requires a "
+                             "nonlinear (NN) solver")
 
 
 class EshiftSection:
@@ -244,6 +256,22 @@ class EshiftSection:
         if r.has_section(self.name):
             for t in types:
                 self.eshift[t] = r.get(self.name, t, "0.0", "float")
+
+
+class TrainshiftSection:
+    """Per-element energy shifts between VASP datasets.
+
+    Reference: fitsnap3lib/io/sections/trainshift.py (per-element float keys,
+    consumed only by the VASP scraper, vasp_scraper.py:35-39,412-414).
+    """
+
+    name = "TRAINSHIFT"
+
+    def __init__(self, r: _Reader, types):
+        self.trainshift = {}
+        if r.has_section(self.name):
+            for t in types:
+                self.trainshift[t] = r.get(self.name, t, "0.0", "float")
 
 
 class GroupsSection:
@@ -266,6 +294,14 @@ class GroupsSection:
         self.random_sampling = r.get(self.name, "random_sampling", "0", "bool")
         self.random_seed = r.get(self.name, "random_seed", "0", "float")
         self.boltz = r.get(self.name, "BOLTZ", "0", "float")
+        # VASP-scraper settings (reference vasp_scraper.py:29-33)
+        self.vasp_use_TOTEN = r.get(self.name, "vasp_use_TOTEN", "0", "bool")
+        self.vasp_json_pathname = r.get(self.name, "vasp_json_pathname", "vJSON")
+        self.vasp_ignore_incomplete = r.get(
+            self.name, "vasp_ignore_incomplete", "0", "bool")
+        self.vasp_ignore_jsons = r.get(self.name, "vasp_ignore_jsons", "0", "bool")
+        self.vasp_unconverged_label = r.get(
+            self.name, "vasp_unconverged_label", "UNCONVERGED")
         self.group_table = {}
         if group_file is not None and path.exists(group_file):
             self._read_group_file(group_file)
@@ -432,6 +468,8 @@ class NetworkSection:
         self.name = name
         layer_sizes = r.get(name, "layer_sizes", "num_desc 64 64 1").split()
         if layer_sizes[0] == "num_desc":
+            # ACE label counts are only known once the calculator builds its
+            # plan; 0 marks "resolve from descriptor width at training time"
             layer_sizes[0] = str(num_desc)
         self.layer_sizes = [int(x) for x in layer_sizes]
         self.learning_rate = r.get(name, "learning_rate", "1e-4", "float")
@@ -528,6 +566,8 @@ class Config:
         else:
             raise ValueError("need a BISPECTRUM, ACE, or CUSTOM section")
         self.sections["ESHIFT"] = EshiftSection(r, desc_section.types)
+        if r.has_section("TRAINSHIFT"):
+            self.sections["TRAINSHIFT"] = TrainshiftSection(r, desc_section.types)
         self.sections["PATH"] = PathSection(r, infile_dir)
         pf = self.sections["PATH"].group_file if self.sections["PATH"].has_group_file else None
         self.sections["GROUPS"] = GroupsSection(r, pf)

@@ -22,10 +22,17 @@ def init_mlp(layer_sizes, nelements, key, dtype=jnp.float32):
     element 0 (reference multi_element_option=1).
     """
     params = []
-    for nin, nout in zip(layer_sizes[:-1], layer_sizes[1:]):
+    nlayers = len(layer_sizes) - 1
+    for i, (nin, nout) in enumerate(zip(layer_sizes[:-1], layer_sizes[1:])):
         key, k1 = jax.random.split(key)
-        w = jax.random.normal(k1, (nelements, nin, nout), dtype) \
-            * jnp.sqrt(2.0 / nin).astype(dtype)
+        # zero-init the output layer: the model starts at exactly its bias
+        # (set to the mean target by the solver), so early training isn't
+        # spent cancelling a random per-atom offset
+        if i == nlayers - 1:
+            w = jnp.zeros((nelements, nin, nout), dtype)
+        else:
+            w = jax.random.normal(k1, (nelements, nin, nout), dtype) \
+                * jnp.sqrt(2.0 / nin).astype(dtype)
         b = jnp.zeros((nelements, nout), dtype)
         params.append((w, b))
     return params

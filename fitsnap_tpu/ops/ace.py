@@ -112,6 +112,10 @@ def generate_labels(ranks, nmax, lmax, numtypes, lmin=None):
     (rank 1 is l = 0), sum(l) even, all triangle-valid intermediate L-paths.
     """
     lmin = lmin or [0] * len(ranks)
+    if len(lmin) == 1:
+        lmin = list(lmin) * len(ranks)
+    assert len(lmin) == len(ranks) == len(nmax) == len(lmax), \
+        "per-rank hyperparameter lists must have equal length"
     labels = []
     for mu0 in range(numtypes):
         for rank, nmx, lmx, lmn in zip(ranks, nmax, lmax, lmin):

@@ -1,21 +1,45 @@
 """VASP OUTCAR scraper (reference `fitsnap3lib/scrapers/vasp_scraper.py`).
 
-Walks OUTCAR* files per group directory, parses every ionic step (lattice,
-positions, forces, stress in kB, energy without entropy — or TOTEN with
-`vasp_use_TOTEN`), and emits the standard data dicts.  Unconverged steps
-(fewer electronic iterations than NELM allows is not checked here; steps
-missing force/energy blocks are skipped).
+Recursively walks each group directory for files named ``*OUTCAR`` (the
+reference globs ``datapath/**/*OUTCAR``, vasp_scraper.py:42-46), parses
+every ionic step (lattice, positions, forces, stress in kB, energy without
+entropy — or TOTEN with ``vasp_use_TOTEN``), and emits the standard data
+dicts.  Per-step behavior matches the reference:
+
+- steps are delimited by the electronic-loop terminator lines ("aborting
+  loop..."); a step whose terminator says "unconverged" is kept but its
+  cached JSON is labeled with ``vasp_unconverged_label``
+  (vasp_scraper.py:103, 248-254);
+- steps missing coordinate/force or energy blocks raise unless
+  ``vasp_ignore_incomplete`` (vasp_scraper.py:270-293);
+- each parsed step is cached as a FitSNAP-format JSON under
+  ``vasp_json_pathname/group/`` and re-read on later runs unless
+  ``vasp_ignore_jsons`` (vasp_scraper.py:235-312, 556-567);
+- TRAINSHIFT per-element energy shifts are applied at scrape time
+  (vasp_scraper.py:412-416).
 """
 
-from os import listdir, path
+import json
+import os
+from glob import glob
+from os import path
 
 import numpy as np
 
 from fitsnap_tpu.scrapers.base import Scraper
 
 
-def _parse_outcar(text, use_toten=False):
-    """Yield per-ionic-step dicts from one OUTCAR's contents."""
+class IncompleteStep(Exception):
+    pass
+
+
+def _parse_outcar(text, use_toten=False, ignore_incomplete=False,
+                  filename="OUTCAR"):
+    """Yield per-ionic-step dicts from one OUTCAR's contents.
+
+    Each step dict carries a ``converged`` bool taken from the step's
+    electronic-loop terminator line.
+    """
     lines = text.splitlines()
     elements = []
     ions_per_type = []
@@ -32,13 +56,16 @@ def _parse_outcar(text, use_toten=False):
 
     steps = []
     cur = {}
+    converged = True
     i = 0
     nlines = len(lines)
     lattice = None
     stress = None
     while i < nlines:
         ln = lines[i]
-        if "direct lattice vectors" in ln:
+        if "aborting loop" in ln:
+            converged = "unconverged" not in ln
+        elif "direct lattice vectors" in ln:
             lattice = np.array(
                 [[float(x) for x in lines[i + 1 + k].split()[:3]]
                  for k in range(3)])
@@ -50,12 +77,20 @@ def _parse_outcar(text, use_toten=False):
         elif "TOTAL-FORCE (eV/Angst)" in ln:
             pos = np.zeros((natoms, 3))
             frc = np.zeros((natoms, 3))
-            for k in range(natoms):
-                v = [float(x) for x in lines[i + 2 + k].split()]
-                pos[k] = v[:3]
-                frc[k] = v[3:6]
-            cur = {"Positions": pos, "Forces": frc,
-                   "Lattice": lattice, "Stress": stress}
+            try:
+                for k in range(natoms):
+                    v = [float(x) for x in lines[i + 2 + k].split()]
+                    pos[k] = v[:3]
+                    frc[k] = v[3:6]
+                cur = {"Positions": pos, "Forces": frc,
+                       "Lattice": lattice, "Stress": stress}
+            except (IndexError, ValueError):
+                if not ignore_incomplete:
+                    raise IncompleteStep(
+                        f"incomplete coordinate/force block in {filename} "
+                        f"near line {i} (set vasp_ignore_incomplete=True "
+                        "to skip such steps)")
+                cur = {}
         elif "FREE ENERGIE OF THE ION-ELECTRON SYSTEM" in ln:
             toten = float(lines[i + 2].split()[-2])
             e_wo = None
@@ -68,10 +103,50 @@ def _parse_outcar(text, use_toten=False):
                     e_wo if e_wo is not None else toten)
                 cur["AtomTypes"] = list(types)
                 cur["NumAtoms"] = natoms
+                cur["converged"] = converged
                 steps.append(cur)
                 cur = {}
+            elif not ignore_incomplete:
+                raise IncompleteStep(
+                    f"energy block without coordinates in {filename} near "
+                    f"line {i} (set vasp_ignore_incomplete=True to skip)")
         i += 1
     return steps
+
+
+def _step_to_dataset(step, group, json_filename, use_toten):
+    """FitSNAP-JSON Dataset dict for one ionic step (vasp_scraper.py:295-308)."""
+    return {"Dataset": {
+        "Group": group,
+        "File": json_filename,
+        "use_TOTEN": bool(use_toten),
+        "EnergyStyle": "electronvolt",
+        "StressStyle": "kB",
+        "AtomTypeStyle": "chemicalsymbol",
+        "PositionsStyle": "angstrom",
+        "ForcesStyle": "electronvoltperangstrom",
+        "LatticeStyle": "angstrom",
+        "Data": [{
+            "Positions": np.asarray(step["Positions"]).tolist(),
+            "Forces": np.asarray(step["Forces"]).tolist(),
+            "Lattice": np.asarray(step["Lattice"]).tolist(),
+            "Stress": np.asarray(step["Stress"]).tolist(),
+            "Energy": float(step["Energy"]),
+            "AtomTypes": list(step["AtomTypes"]),
+            "NumAtoms": int(step["NumAtoms"]),
+        }],
+    }}
+
+
+def _dataset_to_step(config_dict):
+    data = config_dict["Dataset"]["Data"][0]
+    return {"Positions": np.asarray(data["Positions"], float),
+            "Forces": np.asarray(data["Forces"], float),
+            "Lattice": np.asarray(data["Lattice"], float),
+            "Stress": np.asarray(data["Stress"], float),
+            "Energy": float(data["Energy"]),
+            "AtomTypes": list(data["AtomTypes"]),
+            "NumAtoms": int(data["NumAtoms"])}
 
 
 class VaspScraper(Scraper):
@@ -82,19 +157,55 @@ class VaspScraper(Scraper):
         groups = self.config.sections["GROUPS"]
         self.group_table = groups.group_table
         datapath = self.config.sections["PATH"].datapath
-        use_toten = getattr(groups, "vasp_use_TOTEN", False)
+        use_toten = groups.vasp_use_TOTEN
+        jsonpath = groups.vasp_json_pathname
+        ignore_jsons = groups.vasp_ignore_jsons
+        ignore_incomplete = groups.vasp_ignore_incomplete
+        unconv_label = groups.vasp_unconverged_label
 
         for key, row in self.group_table.items():
             folder = path.join(datapath, key)
-            outcars = sorted(f for f in listdir(folder)
-                             if f.startswith("OUTCAR"))
+            if not path.isdir(folder):
+                raise FileNotFoundError(
+                    f"group folder not found for group '{key}': {folder}")
+            outcars = sorted(
+                f for f in glob(path.join(folder, "**", "*"), recursive=True)
+                if f.endswith("OUTCAR") and path.isfile(f))
+            if not outcars:
+                raise FileNotFoundError(
+                    f"no OUTCAR files found under group folder {folder}")
             step_list = []
+            json_dir = path.join(jsonpath, key)
             for f in outcars:
-                with open(path.join(folder, f), errors="ignore") as fp:
-                    for step in _parse_outcar(fp.read(), use_toten):
-                        step["File"] = f
+                stem = path.relpath(f, datapath).replace(
+                    os.sep, "_").replace("_OUTCAR", "")
+                cached = sorted(glob(path.join(json_dir, f"{stem}_*.json")))
+                if cached and not ignore_jsons:
+                    for cf in cached:
+                        with open(cf) as fp:
+                            step = _dataset_to_step(json.load(fp))
+                        step["File"] = cf
                         step["Group"] = key
                         step_list.append(step)
+                    continue
+                with open(f, errors="ignore") as fp:
+                    steps = _parse_outcar(fp.read(), use_toten,
+                                          ignore_incomplete, filename=f)
+                os.makedirs(json_dir, exist_ok=True)
+                for n, step in enumerate(steps, start=1):
+                    label = "" if step.pop("converged", True) else \
+                        f"_{unconv_label}" if unconv_label else ""
+                    jf = path.join(json_dir, f"{stem}_{n}{label}.json")
+                    try:
+                        with open(jf, "w") as fp:
+                            json.dump(_step_to_dataset(
+                                step, key, jf, use_toten), fp,
+                                indent=2, sort_keys=True)
+                    except OSError:
+                        pass  # read-only tree: run without the cache
+                    step["File"] = jf
+                    step["Group"] = key
+                    step_list.append(step)
             nconfigs = len(step_list)
             training_size = row.get("training_size", row.get("size", 1.0))
             testing_size = row.get("testing_size", 0)
@@ -139,6 +250,12 @@ class VaspScraper(Scraper):
             if eshift:
                 for atom in self.data["AtomTypes"]:
                     self.data["Energy"] += eshift.get(atom, 0.0)
+            # TRAINSHIFT: per-element dataset alignment shift, VASP-only
+            # (reference vasp_scraper.py:412-416 adds n_ions(el)*shift(el)).
+            if self.config.has_section("TRAINSHIFT"):
+                trainshift = self.config.sections["TRAINSHIFT"].trainshift
+                for atom in self.data["AtomTypes"]:
+                    self.data["Energy"] += trainshift.get(atom, 0.0)
             self.data["test_bool"] = self.test_bool[i]
             self.data["Energy"] = float(self.data["Energy"]) \
                 * self.conversions["Energy"]

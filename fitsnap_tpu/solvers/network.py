@@ -33,6 +33,10 @@ class NetworkSolver(Solver):
         super().__init__(name, config, linear=False)
         self.net = _net_section(config)
         self.pairwise = "CUSTOM" in config.sections
+        # per-atom-scalar fitting (reference lib/neural_networks/pas.py):
+        # the network maps descriptors to one scalar per atom, no energy
+        # contraction and no forces
+        self.pas = config.sections["CALCULATOR"].per_atom_scalar
         self.buckets = None     # list of per-bucket dataset dicts
         self.mean = None
         self.std = None
@@ -44,32 +48,14 @@ class NetworkSolver(Solver):
     def prepare_dataset(self, calculator, data):
         """Precompute descriptors/dgrad for all configs, bucketed by shape."""
         import optax  # noqa: F401  (fail early if missing)
-        from fitsnap_tpu.ops.snap import descriptors_with_jacobian
-        from fitsnap_tpu.ops.refpot import reference_eav
 
         if self.pairwise:
             return self._prepare_pairwise(calculator, data)
+        if self.pas:
+            return self._prepare_pas(calculator, data)
         packed, shape_buckets = calculator.host_preprocess(data)
-        params = calculator.params
-        refspec = calculator.refspec
         dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
-
-        def prep(disp, jidx, mask, types, natoms):
-            A = disp.shape[0]
-            dtp = disp.dtype
-            radelem = jnp.asarray(params.radelem, dtp)
-            rcutij = (radelem[types][:, None] + radelem[types[jidx]]) \
-                * params.rcutfac
-            r2 = jnp.sum(disp * disp, -1)
-            smask = mask & (r2 < rcutij * rcutij)
-            real = (jnp.arange(A) < natoms).astype(dtp)
-            B, G = descriptors_with_jacobian(disp, types[jidx], smask,
-                                             types, params)
-            B = B * real[:, None]
-            G = G * real[:, None, None, None]
-            re_, rf_, _ = reference_eav(disp, jidx, mask, types, natoms,
-                                        refspec)
-            return B, G, re_, rf_
+        prep = calculator.nn_prep_fn()
 
         self.buckets = []
         sum_b = None
@@ -221,6 +207,81 @@ class NetworkSolver(Solver):
         self._custom_sec = sec
         return self.buckets
 
+    def _prepare_pas(self, calculator, data):
+        """Per-atom-scalar mode: descriptors + per-atom 'Chis' truths, no
+        jacobian/forces (reference calculator.py:103-108, pas.py)."""
+        packed, shape_buckets = calculator.host_preprocess(data)
+        dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+        prep = calculator.nn_desc_fn()
+        self.buckets = []
+        sum_b = None
+        sumsq_b = None
+        count = 0
+        for (a_pad, k_pad), idxs in sorted(shape_buckets.items()):
+            n = len(idxs)
+            disp = np.zeros((n, a_pad, k_pad, 3), dtype)
+            jidx = np.zeros((n, a_pad, k_pad), np.int32)
+            mask = np.zeros((n, a_pad, k_pad), bool)
+            types = np.zeros((n, a_pad), np.int32)
+            nat = np.zeros((n,), np.int32)
+            chis = np.zeros((n, a_pad), dtype)
+            ew = np.zeros((n,), dtype)
+            test = np.zeros((n,), bool)
+            groups = []
+            for j, i in enumerate(idxs):
+                pc = packed[i]
+                na, kc = pc.natoms, pc.kcount
+                disp[j, :na, :kc] = pc.disp[:, :kc]
+                jidx[j, :na, :kc] = pc.jidx[:, :kc]
+                mask[j, :na, :kc] = pc.mask[:, :kc]
+                types[j, :na] = pc.types
+                nat[j] = na
+                d = pc.data
+                chis[j, :na] = np.asarray(d["Chis"], dtype).reshape(-1)
+                ew[j] = d.get("eweight", 1.0)
+                test[j] = bool(d["test_bool"])
+                groups.append(d["Group"])
+            fn = jax.jit(jax.vmap(prep))
+            chunk = int(min(32, max(1, 1024 // a_pad)))
+            Bs = []
+            for c0 in range(0, n, chunk):
+                sl = slice(c0, min(n, c0 + chunk))
+                pad = chunk - (sl.stop - sl.start)
+                args = [np.concatenate([x[sl]] + ([x[:pad]] if pad else []))
+                        for x in (disp, jidx, mask, types, nat)]
+                B = fn(*[jnp.asarray(x) for x in args])
+                Bs.append(B[:sl.stop - sl.start])
+            B = jnp.concatenate(Bs)
+            real = (np.arange(a_pad)[None, :] < nat[:, None])
+            Bh = np.asarray(B)[real]
+            sum_b = Bh.sum(0) if sum_b is None else sum_b + Bh.sum(0)
+            sumsq_b = (Bh ** 2).sum(0) if sumsq_b is None \
+                else sumsq_b + (Bh ** 2).sum(0)
+            count += Bh.shape[0]
+            self.buckets.append({
+                "B": B, "types": jnp.asarray(types),
+                "nat": jnp.asarray(nat), "real": jnp.asarray(real),
+                "pas_target": jnp.asarray(chis),
+                "ew": jnp.asarray(ew),
+                "test": test, "groups": groups, "nat_host": nat,
+                "shape": (a_pad, k_pad), "dtype": dtype,
+            })
+        mean = sum_b / count
+        var = sumsq_b / count - mean ** 2
+        std = np.sqrt(np.clip(var, 0, None))
+        std[std < 1e-8] = 1.0
+        self.mean = jnp.asarray(mean, dtype)
+        self.std = jnp.asarray(std, dtype)
+        return self.buckets
+
+    def _forward_pas(self, params, batch):
+        """Per-atom scalars: one MLP evaluation per atom, no contraction."""
+        B = batch["B"]
+        x = (B - self.mean) / self.std
+        scal = jax.vmap(lambda xc, ec: atom_energies(params, xc, ec))(
+            x, batch["types"])
+        return scal * batch["real"].astype(B.dtype)
+
     def _forward_pairwise(self, params, batch):
         """Per-atom-normalized energies + autodiff forces, pairwise model."""
         from fitsnap_tpu.ops.custom_desc import pair_descriptors
@@ -281,13 +342,22 @@ class NetworkSolver(Solver):
                    "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_PW = ("disp", "mask", "types", "real", "nat", "jidx",
                       "e_target", "f_target", "ew", "fw")
+    _BATCH_KEYS_PAS = ("B", "types", "real", "nat", "pas_target", "ew")
 
     def _gather(self, ds, idx):
-        keys = self._BATCH_KEYS_PW if self.pairwise else self._BATCH_KEYS
+        keys = (self._BATCH_KEYS_PAS if self.pas
+                else self._BATCH_KEYS_PW if self.pairwise
+                else self._BATCH_KEYS)
         return {k: ds[k][idx] for k in keys}
 
     def _loss(self, params, batch):
         net = self.net
+        if self.pas:
+            pred = self._forward_pas(params, batch)
+            real = batch["real"].astype(pred.dtype)
+            res = (pred - batch["pas_target"]) * real
+            na = jnp.maximum(real.sum(), 1.0)
+            return jnp.sum(batch["ew"][:, None] * res ** 2) / na
         fwd = self._forward_pairwise if self.pairwise \
             else self._forward_batch
         e_pred, f_pred = fwd(params, batch)
@@ -329,11 +399,22 @@ class NetworkSolver(Solver):
                                  int(time.time()) % 2 ** 31)
         dtype = jnp.float32 if self.buckets[0]["dtype"] == np.float32 \
             else jnp.float64
+        if net.layer_sizes[0] == 0:
+            # 'num_desc' placeholder unresolved at config time (ACE): use
+            # the actual descriptor width of the prepared dataset
+            key0 = "B" if ("B" in self.buckets[0]) else "disp"
+            assert key0 == "B", "pairwise models resolve num_desc at config"
+            net.layer_sizes[0] = int(self.buckets[0]["B"].shape[-1])
         self.params = init_mlp(net.layer_sizes, nelem_net, key, dtype)
         # start the output bias at the mean per-atom energy target so the
         # network doesn't spend epochs learning the cohesive-energy offset
-        e_mean = float(np.mean(np.concatenate(
-            [np.asarray(ds["e_target"]) for ds in self.buckets])))
+        if self.pas:
+            e_mean = float(np.concatenate(
+                [np.asarray(ds["pas_target"])[np.asarray(ds["real"])]
+                 for ds in self.buckets]).mean())
+        else:
+            e_mean = float(np.mean(np.concatenate(
+                [np.asarray(ds["e_target"]) for ds in self.buckets])))
         if self.pairwise:
             # pairwise models sum per-PAIR energies: scale by pairs/atom
             pairs = sum(float(np.asarray(ds["mask"]).sum())
@@ -418,7 +499,7 @@ class NetworkSolver(Solver):
                 "std": np.asarray(self.std),
                 "multi_element_option": net.multi_element_option,
             })
-        if (not self.pairwise and net.output_file
+        if (not self.pairwise and not self.pas and net.output_file
                 and net.output_file != "None"):
             # LAMMPS ML-IAP deployment module (torch is an export-time-only
             # dependency; reference `lib/neural_networks/pytorch.py:250`)
@@ -438,6 +519,17 @@ class NetworkSolver(Solver):
     def evaluate_bucket(self, ds, chunk=32):
         """Predictions for every config in one bucket."""
         n = int(ds["nat"].shape[0])
+        if self.pas:
+            fwd = jax.jit(self._forward_pas)
+            preds = []
+            for c0 in range(0, n, chunk):
+                idx = np.arange(c0, min(n, c0 + chunk))
+                pad = chunk - len(idx)
+                idxp = np.concatenate([idx, np.zeros(pad, int)]) \
+                    if pad else idx
+                p = fwd(self.params, self._gather(ds, jnp.asarray(idxp)))
+                preds.append(np.asarray(p)[:len(idx)])
+            return np.concatenate(preds), None
         fwd = jax.jit(self._forward_pairwise if self.pairwise
                       else self._forward_batch)
         es, fs_ = [], []
@@ -450,12 +542,43 @@ class NetworkSolver(Solver):
             fs_.append(np.asarray(f)[:len(idx)])
         return np.concatenate(es), np.concatenate(fs_)
 
+    def _error_analysis_pas(self):
+        from pandas import DataFrame
+
+        rows = {}
+        for ds in self.buckets:
+            pred, _ = self.evaluate_bucket(ds)
+            t = np.asarray(ds["pas_target"])
+            realm = np.asarray(ds["real"])
+            for i, g in enumerate(ds["groups"]):
+                label = "Testing" if ds["test"][i] else "Training"
+                rows.setdefault((g, label), []).append(
+                    (pred[i] - t[i])[realm[i]])
+        table = []
+        keys = sorted(rows) + [("*ALL", "Training"), ("*ALL", "Testing")]
+        for g, label in keys:
+            if g == "*ALL":
+                res = np.concatenate(
+                    [v for (gg, ll), vs in rows.items() if ll == label
+                     for v in vs] or [np.zeros(0)])
+            else:
+                res = np.concatenate(rows[(g, label)])
+            if res.size == 0:
+                continue
+            table.append({"Group": g, "Testing": label,
+                          "ncount": int(res.size),
+                          "mae": float(np.abs(res).mean()),
+                          "rmse": float(np.sqrt((res ** 2).mean()))})
+        self.errors = DataFrame(table).set_index(["Group", "Testing"])
+
     def error_analysis(self, a=None, b=None, w=None, fs_dict=None):
         from pandas import DataFrame
 
         if self.params is None or self.buckets is None:
             self.errors = []
             return
+        if self.pas:
+            return self._error_analysis_pas()
         rows_e, rows_f = {}, {}
         for ds in self.buckets:
             e_pred, f_pred = self.evaluate_bucket(ds)
