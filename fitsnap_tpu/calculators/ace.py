@@ -20,6 +20,13 @@ from fitsnap_tpu.ops.refpot import parse_reference, reference_eav
 from fitsnap_tpu.utils.jaxsetup import setup_cache
 
 
+def _within_rcut(disp, jidx, types, plan):
+    """Per-bond cutoff mask: |r_ij| < rcut[type_i, type_j]."""
+    rcm = jnp.asarray(plan.rcut, disp.dtype)[types[:, None], types[jidx]]
+    r2 = jnp.sum(disp * disp, -1)
+    return r2 < rcm * rcm
+
+
 class AceCalculator:
     def __init__(self, name, config):
         self.config = config
@@ -30,7 +37,8 @@ class AceCalculator:
         self.numtypes = sec.numtypes
         self.refspec = parse_reference(config.sections["REFERENCE"],
                                        sec.numtypes)
-        self.cutoff = max(self.plan.rcut, self.refspec.max_cutoff)
+        self.cutoff = max(float(np.max(self.plan.rcut)),
+                          self.refspec.max_cutoff)
         self.type_mapping = sec.type_mapping
         # publish label metadata to the section (reference `ace.py:100-127`)
         sec.ncoeff = self.plan.ncoeff
@@ -53,13 +61,11 @@ class AceCalculator:
         lammps_pace.py dgradflag=1 rows)."""
         plan = self.plan
         refspec = self.refspec
-        cutoff = plan.rcut
 
         def prep(disp, jidx, mask, types, natoms):
             A = disp.shape[0]
             dtp = disp.dtype
-            r2 = jnp.sum(disp * disp, -1)
-            smask = mask & (r2 < cutoff * cutoff)
+            smask = mask & _within_rcut(disp, jidx, types, plan)
             real = (jnp.arange(A) < natoms).astype(dtp)
             B, G = ace_descriptors_with_jacobian(disp, types[jidx], smask,
                                                  types, plan)
@@ -75,13 +81,11 @@ class AceCalculator:
         """Per-config per-atom ACE descriptors only (PAS mode; reference
         lammps_pace.py:145-150 stores per-atom Chis truths)."""
         plan = self.plan
-        cutoff = plan.rcut
 
         def prep(disp, jidx, mask, types, natoms):
             A = disp.shape[0]
             dtp = disp.dtype
-            r2 = jnp.sum(disp * disp, -1)
-            smask = mask & (r2 < cutoff * cutoff)
+            smask = mask & _within_rcut(disp, jidx, types, plan)
             real = (jnp.arange(A) < natoms).astype(dtp)
             B = ace_atom_descriptors(disp, types[jidx], smask, types, plan)
             return B * real[:, None]
@@ -113,13 +117,11 @@ class AceCalculator:
             return self._jit_cache[key]
         plan = self.plan
         refspec = self.refspec
-        cutoff = plan.rcut
 
         def one_config(disp, jidx, mask, types, natoms, cell, spins):
             A = disp.shape[0]
             dtp = disp.dtype
-            r2 = jnp.sum(disp * disp, -1)
-            smask = mask & (r2 < cutoff * cutoff)
+            smask = mask & _within_rcut(disp, jidx, types, plan)
             jelem = types[jidx]
             real = (jnp.arange(A) < natoms).astype(dtp)
             B, G = ace_descriptors_with_jacobian(disp, jelem, smask,

@@ -80,6 +80,10 @@ class PaceOutput:
                     "drho_core_cutoff: 250}\n")
         out += "bonds:\n"
         nradmax = max(sec.nmax)
+        rcut = np.asarray(plan.rcut)
+        lmbda = np.asarray(plan.lmbda)
+        rcin = np.asarray(plan.rcinner)
+        dcin = np.asarray(plan.drcinner)
         for t1 in range(sec.numtypes):
             for t2 in range(sec.numtypes):
                 crad = np.zeros((nradmax, plan.lmax + 1, plan.nradbase))
@@ -89,15 +93,17 @@ class PaceOutput:
                         f"lmax: {plan.lmax}, "
                         f"nradbasemax: {plan.nradbase}, "
                         "radbasename: ChebExpCos, "
-                        f"radparameters: [{plan.lmbda}], "
+                        f"radparameters: [{lmbda[t1, t2]}], "
                         f"radcoefficients: {crad.tolist()}, "
                         "prehc: 0, "
-                        f"lambdahc: {plan.lmbda}, rcut: {plan.rcut}, "
-                        f"dcut: 0.01, rcut_in: {plan.rcinner}, "
-                        f"dcut_in: {plan.drcinner}, "
+                        f"lambdahc: {lmbda[t1, t2]}, "
+                        f"rcut: {rcut[t1, t2]}, "
+                        f"dcut: 0.01, rcut_in: {rcin[t1, t2]}, "
+                        f"dcut_in: {dcin[t1, t2]}, "
                         "inner_cutoff_type: distance}\n"
                         )
-        from fitsnap_tpu.ops.ace import coupling_terms
+        from fitsnap_tpu.ops.ace import plan_terms
+        all_terms = plan_terms(plan)
         out += "functions:\n"
         per_type = len(plan.labels) // sec.numtypes
         for t in range(sec.numtypes):
@@ -106,10 +112,9 @@ class PaceOutput:
                 li = t * per_type + i
                 mu0, mus, ns, ls, Ls = plan.labels[li]
                 c = float(coeffs[base + li])
-                terms = coupling_terms(ls, Ls)
                 ms_combs = []
                 ctildes = []
-                for mvec, cc in terms.items():
+                for mvec, cc in all_terms[li].items():
                     ms_combs += list(mvec)
                     ctildes.append(cc * c)
                 rank = len(mus)

@@ -167,10 +167,10 @@ class AcePlan:
     nradbase: int
     nmax_per_l: dict            # l -> max n used
     lmax: int
-    rcut: float
-    lmbda: float
-    rcinner: float
-    drcinner: float
+    rcut: np.ndarray = None      # (numtypes, numtypes) per-bond cutoffs
+    lmbda: np.ndarray = None     # (numtypes, numtypes) ChebExpCos lambda
+    rcinner: np.ndarray = None   # (numtypes, numtypes) inner cutoff
+    drcinner: np.ndarray = None  # (numtypes, numtypes) inner cutoff width
     labels: list = field(default_factory=list)
     # A-basis layout: flat index over (mu, n, l, m)
     a_index: dict = None        # (mu, n, l, m) -> idx
@@ -182,30 +182,47 @@ class AcePlan:
     t_mu0: np.ndarray = None    # (nlabels,) central element of each label
     rank_max: int = 0
     mmat: np.ndarray = None     # (nterms, nlabels) dense agg matrix
+    radial: str = "v0"          # ChebExpCos convention variant
 
     @property
     def ncoeff(self):
         return len(self.labels) // self.numtypes
 
 
-def build_ace_plan(section) -> AcePlan:
-    ranks = section.ranks
-    nmax = section.nmax
-    lmax_list = section.lmax
-    lmin = section.lmin
-    numtypes = section.numtypes
-    labels = generate_labels(ranks, nmax, lmax_list, numtypes, lmin)
+def _bond_matrix(vals, numtypes):
+    """Per-bond parameter matrix from 1, numtypes^2 values, or a matrix.
 
-    lmax = max(lmax_list)
-    # A-basis index: union of (mu, n, l) used with all |m| <= l
+    The reference orders bond values as itertools.product(types, types)
+    (calculator_sections/ace.py rcutfac/lambda/rcinner/drcinner lists)."""
+    a = np.asarray(vals, float).reshape(-1)
+    if a.size == 1:
+        return np.full((numtypes, numtypes), float(a[0]))
+    if a.size == numtypes * numtypes:
+        return a.reshape(numtypes, numtypes)
+    raise ValueError(
+        f"expected 1 or {numtypes * numtypes} bond values, got {a.size}")
+
+
+def _pack_plan(labels, terms_per_label, numtypes, nradbase, lmax,
+               rcut, lmbda, rcinner, drcinner) -> AcePlan:
+    """Assemble an AcePlan from labels + per-label {m-vector: ctilde} maps.
+
+    Rank-1 slots use the ML-PACE convention: the descriptor is the plain
+    radial-base sum sum_j g_n(r_j) with NO Y00 factor (that is why .yace
+    files carry nradbasemax >= nradmax and rank-1 ns beyond nradmax).
+    Those factors are keyed (mu, n, -1, 0) in the A-index and evaluated
+    without a spherical harmonic.
+    """
     used = {}
     for (mu0, mus, ns, ls, Ls) in labels:
+        rank = len(mus)
         for mu, n, l in zip(mus, ns, ls):
-            used[(mu, n, l)] = True
+            key_l = -1 if rank == 1 else l
+            used[(mu, n, key_l)] = True
     a_index = {}
     idx = 1                       # 0 is the dummy "one" slot
     for (mu, n, l) in sorted(used):
-        for m in range(-l, l + 1):
+        for m in ([0] if l < 0 else range(-l, l + 1)):
             a_index[(mu, n, l, m)] = idx
             idx += 1
     nA = idx
@@ -213,9 +230,9 @@ def build_ace_plan(section) -> AcePlan:
     rank_max = max(len(lab[1]) for lab in labels)
     t_fact, t_coef, t_label = [], [], []
     for li, (mu0, mus, ns, ls, Ls) in enumerate(labels):
-        terms = coupling_terms(ls, Ls)
-        for mvec, c in terms.items():
-            fact = [a_index[(mu, n, l, m)]
+        rank = len(mus)
+        for mvec, c in terms_per_label[li].items():
+            fact = [a_index[(mu, n, -1 if rank == 1 else l, m)]
                     for mu, n, l, m in zip(mus, ns, ls, mvec)]
             fact += [0] * (rank_max - len(fact))
             t_fact.append(fact)
@@ -234,13 +251,13 @@ def build_ace_plan(section) -> AcePlan:
 
     return AcePlan(
         numtypes=numtypes,
-        nradbase=max(section.nmaxbase, max(nmax)),
+        nradbase=nradbase,
         nmax_per_l=nmax_per_l,
         lmax=lmax,
-        rcut=float(section.rcutfac[0]),
-        lmbda=float(section.lmbda[0]),
-        rcinner=float(section.rcinner[0]),
-        drcinner=float(section.drcinner[0]),
+        rcut=_bond_matrix(rcut, numtypes),
+        lmbda=_bond_matrix(lmbda, numtypes),
+        rcinner=_bond_matrix(rcinner, numtypes),
+        drcinner=_bond_matrix(drcinner, numtypes),
         labels=labels,
         a_index=a_index,
         nA=nA,
@@ -253,27 +270,156 @@ def build_ace_plan(section) -> AcePlan:
     )
 
 
+def build_ace_plan(section) -> AcePlan:
+    ranks = section.ranks
+    nmax = section.nmax
+    lmax_list = section.lmax
+    lmin = section.lmin
+    numtypes = section.numtypes
+    basis = getattr(section, "b_basis", "native")
+    if basis in ("minsub", "pa_tabulated"):
+        from fitsnap_tpu.ops.ace_ref_basis import reference_labels_and_terms
+        labels, terms = reference_labels_and_terms(section)
+    else:
+        labels = generate_labels(ranks, nmax, lmax_list, numtypes, lmin)
+        terms = [coupling_terms(lab[3], lab[4]) for lab in labels]
+    return _pack_plan(
+        labels, terms, numtypes,
+        nradbase=max(section.nmaxbase, max(nmax)),
+        lmax=max(lmax_list),
+        rcut=section.rcutfac,
+        lmbda=section.lmbda,
+        rcinner=section.rcinner,
+        drcinner=section.drcinner,
+    )
+
+
+def plan_terms(plan: AcePlan):
+    """Per-label {m-vector: ctilde} maps recovered from the packed term
+    tables (inverse of _pack_plan; used by the .yace writer)."""
+    inv = {v: k for k, v in plan.a_index.items()}
+    terms = [dict() for _ in plan.labels]
+    for fact, coef, li in zip(plan.t_fact, plan.t_coef, plan.t_label):
+        rank = len(plan.labels[li][1])
+        mvec = tuple(int(inv[int(f)][3]) for f in fact[:rank])
+        terms[li][mvec] = terms[li].get(mvec, 0.0) + float(coef)
+    return terms
+
+
+def plan_from_yace(path) -> AcePlan:
+    """Build an evaluation plan from an ML-PACE ctilde potential
+    (`coupling_coefficients.yace` or a fitted `.yace`).
+
+    Covers the reference's `manuallabs`-style workflows and provides an
+    exact-basis oracle: descriptors evaluated with a plan loaded from the
+    reference's own coupling file must reproduce `compute pace` outputs
+    (reference lammps_pace.py:71-84 consumes the same file).
+    """
+    import re
+
+    import yaml
+
+    with open(path) as f:
+        txt = f.read()
+    # bond keys are flow-style lists ([0, 0]:) — unhashable for safe_load
+    txt = re.sub(r"^(\s+)(\[[\d,\s]+\]):", r'\1"\2":', txt, flags=re.M)
+    doc = yaml.safe_load(txt)
+    elements = doc["elements"]
+    numtypes = len(elements)
+    bond = next(iter(doc["bonds"].values()))
+    crad = np.asarray(bond["radcoefficients"], float)
+    eye = np.zeros_like(crad)
+    for n in range(crad.shape[0]):
+        eye[n, :, n] = 1.0
+    assert np.allclose(crad, eye), \
+        "only identity radcoefficients (R_nl = g_n) are supported"
+    nt = numtypes
+    rc = np.zeros((nt, nt))
+    lam = np.zeros((nt, nt))
+    rc_in = np.zeros((nt, nt))
+    d_in = np.full((nt, nt), 0.01)
+    for key, b in doc["bonds"].items():
+        i, j = (int(x) for x in re.findall(r"\d+", str(key)))
+        rc[i, j] = float(b["rcut"])
+        lam[i, j] = float(b["radparameters"][0])
+        rc_in[i, j] = float(b.get("rcut_in", 0.0) or 0.0)
+        d_in[i, j] = float(b.get("dcut_in", 0.01) or 0.01)
+    labels = []
+    terms = []
+    lmax = 0
+    for mu0 in sorted(doc["functions"]):
+        for fn in doc["functions"][mu0]:
+            rank = int(fn["rank"])
+            mus = tuple(int(x) for x in fn["mus"])
+            ns = tuple(int(x) for x in fn["ns"])
+            ls = tuple(int(x) for x in fn["ls"])
+            lmax = max(lmax, max(ls))
+            ms = [int(x) for x in fn["ms_combs"]]
+            cts = [float(x) for x in fn["ctildes"]]
+            tmap = {}
+            for k, c in enumerate(cts):
+                mvec = tuple(ms[k * rank:(k + 1) * rank])
+                tmap[mvec] = tmap.get(mvec, 0.0) + c
+            labels.append((int(mu0), mus, ns, ls, ()))
+            terms.append(tmap)
+    return _pack_plan(
+        labels, terms, numtypes,
+        nradbase=int(bond["nradbasemax"]),
+        lmax=lmax,
+        rcut=rc,
+        lmbda=lam,
+        rcinner=rc_in,
+        drcinner=d_in,
+    )
+
+
 # ---------------------------------------------------------------------------
 # jittable kernel
 # ---------------------------------------------------------------------------
 
-def chebexpcos_basis(r, rcut, lmbda, nradbase):
+def chebexpcos_basis(r, rcut, lmbda, nradbase, variant="v0"):
     """ChebExpCos radial functions g_k(r), k = 1..nradbase.
 
-    x(r) = 1 - 2 (e^{-lambda (r/rc - 1)} - 1)/(e^lambda - 1)  in [-1, 1],
-    g_k = T_{k-1}(x) * 0.5 (1 + cos(pi r / rc)), zero beyond rcut
-    (Drautz-2019 exponentially-scaled Chebyshev with cosine cutoff).
+    Exponentially-scaled Chebyshev polynomials under a cosine cutoff
+    (Drautz-2019 Eq. 24).  `variant` selects the exact convention:
+      v0: x = 1 - 2 (e^{lambda(1 - r/rc)} - 1)/(e^lambda - 1),
+          g_k = T_{k-1}(x) * 0.5 (1 + cos(pi r/rc))
+      pace_x: x = 1 - 2 (e^{lambda r/rc} - 1)/(e^lambda - 1) (ML-PACE
+          ace_radial scaled distance), same g stack
+      v0_t1 / pace_x_t1: same x, g_k = T_k(x) (skip the constant T_0)
     """
     dtype = r.dtype
-    x = 1.0 - 2.0 * (jnp.exp(-lmbda * (r / rcut - 1.0)) - 1.0) \
-        / (jnp.exp(jnp.asarray(lmbda, dtype)) - 1.0)
+    rcut = jnp.broadcast_to(jnp.asarray(rcut, dtype), r.shape)
+    lmbda = jnp.broadcast_to(jnp.asarray(lmbda, dtype), r.shape)
+    x0 = jnp.clip(r / rcut, 0.0, 1.0)
+    den = jnp.exp(lmbda) - 1.0
+    if variant.startswith("pace_x"):
+        x = 1.0 - 2.0 * (jnp.exp(lmbda * x0) - 1.0) / den
+    else:
+        x = 1.0 - 2.0 * (jnp.exp(lmbda * (1.0 - x0)) - 1.0) / den
     x = jnp.clip(x, -1.0, 1.0)
-    cz = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.clip(r / rcut, 0.0, 1.0)))
+    cz = 0.5 * (1.0 + jnp.cos(jnp.pi * x0))
+    nto = nradbase + 1
     cheb = [jnp.ones_like(x), x]
-    for _ in range(2, nradbase):
+    for _ in range(2, nto):
         cheb.append(2.0 * x * cheb[-1] - cheb[-2])
-    g = jnp.stack(cheb[:nradbase], axis=-1) * cz[..., None]
-    return jnp.where(r[..., None] < rcut, g, 0.0)
+    if variant == "pace":
+        # ML-PACE ace_radial.cpp radbase: x decreases 1 -> -1
+        # (x = 2(e^{-lam r/rc} - e^{-lam})/(1 - e^{-lam}) - 1 = -x_v0),
+        # g_1 = env, g_n = 0.5 (1 - T_{n-1}(x)) env for n >= 2
+        xs = -x
+        chs = [jnp.ones_like(xs), xs]
+        for _ in range(2, nto):
+            chs.append(2.0 * xs * chs[-1] - chs[-2])
+        cols = [jnp.ones_like(xs)]
+        for n in range(2, nradbase + 1):
+            cols.append(0.5 * (1.0 - chs[n - 1]))
+        g = jnp.stack(cols, axis=-1) * cz[..., None]
+    elif variant.endswith("_t1"):
+        g = jnp.stack(cheb[1:nradbase + 1], axis=-1) * cz[..., None]
+    else:
+        g = jnp.stack(cheb[:nradbase], axis=-1) * cz[..., None]
+    return jnp.where(r[..., None] < rcut[..., None], g, 0.0)
 
 
 def _alp_coeffs(lmax):
@@ -350,20 +496,33 @@ def ace_atom_descriptors(disp, jelem, mask, ielem, plan: AcePlan):
     whose element equals the label's mu0 (others read zero via masking in
     the calculator's one-hot aggregation).
     """
-    ar, ai = ace_a_basis(disp, jelem, mask, plan)
+    ar, ai = ace_a_basis(disp, jelem, mask, ielem, plan)
     return ace_b_from_a(ar, ai, plan)
 
 
-def ace_pair_phi(disp, jelem, mask, plan: AcePlan):
+def ace_pair_phi(disp, jelem, mask, ielem, plan: AcePlan):
     """Per-pair basis contributions phi (A_atoms, K, nA) complex pair.
 
     Column layout matches `plan.a_index` (index 0 is a constant ZERO slot
-    here; the A-basis adds the constant 1 after the neighbor sum)."""
+    here; the A-basis adds the constant 1 after the neighbor sum).
+    Radial parameters (rcut, lambda, inner cutoff) are per-bond
+    (central element x neighbor element), as in ML-PACE bonds blocks.
+    """
     dtype = disp.dtype
     safe = jnp.where(mask[..., None], disp, jnp.array([1.0, 0.0, 0.0], dtype))
     r = jnp.sqrt(jnp.sum(safe * safe, -1))
     unit = safe / r[..., None]
-    g = chebexpcos_basis(r, plan.rcut, plan.lmbda, plan.nradbase)
+    rcm = jnp.asarray(plan.rcut, dtype)[ielem[:, None], jelem]     # (A, K)
+    lamm = jnp.asarray(plan.lmbda, dtype)[ielem[:, None], jelem]
+    g = chebexpcos_basis(r, rcm, lamm, plan.nradbase, plan.radial)
+    rin = jnp.asarray(plan.rcinner, dtype)[ielem[:, None], jelem]
+    if np.any(np.asarray(plan.rcinner) > 0.0):
+        # ML-PACE distance-type inner cutoff: functions ramp to zero
+        # inside [rcut_in - dcut_in, rcut_in]
+        din = jnp.asarray(plan.drcinner, dtype)[ielem[:, None], jelem]
+        t = jnp.clip((r - (rin - din)) / jnp.maximum(din, 1e-12), 0.0, 1.0)
+        fin = 0.5 * (1.0 - jnp.cos(jnp.pi * t))
+        g = g * fin[..., None]
     g = g * mask[..., None]
     yr, yi = sph_harm(unit, plan.lmax)
 
@@ -374,15 +533,21 @@ def ace_pair_phi(disp, jelem, mask, plan: AcePlan):
     items = sorted({(mu, n, l) for (mu, n, l, m) in plan.a_index})
     for (mu, n, l) in items:
         base = g[..., n - 1] * chan[..., mu]               # (A, K)
+        if l < 0:
+            # rank-1 radial-base slot: plain g_n, no spherical harmonic
+            # (ML-PACE rank-1 convention)
+            cols_r.append(base)
+            cols_i.append(jnp.zeros(r.shape, dtype))
+            continue
         for m in range(-l, l + 1):
             cols_r.append(base * yr[l][..., m + l])
             cols_i.append(base * yi[l][..., m + l])
     return jnp.stack(cols_r, -1), jnp.stack(cols_i, -1)
 
 
-def ace_a_basis(disp, jelem, mask, plan: AcePlan):
+def ace_a_basis(disp, jelem, mask, ielem, plan: AcePlan):
     """A-basis: (A_atoms, nA) complex pair (index 0 is the constant 1)."""
-    phr, phi = ace_pair_phi(disp, jelem, mask, plan)
+    phr, phi = ace_pair_phi(disp, jelem, mask, ielem, plan)
     A_r = phr.sum(axis=-2)
     A_i = phi.sum(axis=-2)
     A_r = A_r.at[..., 0].set(1.0)
@@ -395,7 +560,7 @@ def ace_descriptors_with_jacobian(disp, jelem, mask, ielem, plan: AcePlan):
     Returns (B (A, nl), dBdD (A, nl, K, 3)); same contract as the SNAP
     kernel's `descriptors_with_jacobian`.
     """
-    f = lambda d: ace_pair_phi(d, jelem, mask, plan)
+    f = lambda d: ace_pair_phi(d, jelem, mask, ielem, plan)
     phr, phi = f(disp)
     eye = jnp.eye(3, dtype=disp.dtype)
     tangents = jnp.broadcast_to(eye[:, None, None, :], (3,) + disp.shape)

@@ -54,7 +54,8 @@ def test_rotation_invariance(plan):
 
     def bvals(d):
         Ar, Ai = ace_a_basis(jnp.asarray(d), jnp.asarray(jelem),
-                             jnp.asarray(mask), plan)
+                             jnp.asarray(mask),
+                             jnp.zeros(d.shape[0], int), plan)
         return np.array(ace_b_from_a(Ar, Ai, plan))
 
     B1 = bvals(disp)
@@ -80,7 +81,8 @@ def test_jacobian_matches_autodiff(plan):
         jnp.asarray(ielem), plan)
 
     def bfun(d):
-        Ar, Ai = ace_a_basis(d, jnp.asarray(jelem), jnp.asarray(mask), plan)
+        Ar, Ai = ace_a_basis(d, jnp.asarray(jelem), jnp.asarray(mask),
+                             jnp.asarray(ielem), plan)
         return ace_b_from_a(Ar, Ai, plan)
 
     Gad = jax.jacrev(lambda d: bfun(d).sum(0))(jnp.asarray(disp))

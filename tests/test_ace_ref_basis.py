@@ -1,0 +1,97 @@
+"""Reference-basis ACE generation parity vs the committed standard.
+
+The Ta_PACE standard ships the exact ctilde function table FitSNAP fed to
+LAMMPS (`17Oct22_Standard/coupling_coefficients.yace`).  These tests assert
+our native generator (`ops/ace_ref_basis.py`) reproduces it exactly: label
+set, label order, and every coupling coefficient.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+from tests.util import REFERENCE
+
+STD = REFERENCE / "examples/Ta_PACE/17Oct22_Standard"
+
+pytestmark = pytest.mark.skipif(not STD.exists(),
+                                reason="reference standard not available")
+
+
+def _std_functions():
+    import yaml
+
+    txt = (STD / "coupling_coefficients.yace").read_text()
+    txt = re.sub(r"^(\s+)(\[[\d,\s]+\]):", r'\1"\2":', txt, flags=re.M)
+    return yaml.safe_load(txt)["functions"][0]
+
+
+class _Sec:
+    numtypes = 1
+    ranks = [1, 2, 3, 4, 5, 6]
+    lmax = [1, 2, 2, 2, 1, 1]
+    nmax = [22, 2, 2, 2, 1, 1]
+    lmin = [1, 1, 1, 1, 1, 1]
+    b_basis = "minsub"
+
+
+def test_label_set_and_order_matches_standard():
+    from fitsnap_tpu.ops.ace_ref_basis import reference_labels_and_terms
+
+    std = _std_functions()
+    labels, _ = reference_labels_and_terms(_Sec())
+    assert len(labels) == len(std) == 68
+    for i, f in enumerate(std):
+        mu0, mus, ns, ls, Ls = labels[i]
+        assert (list(mus), list(ns), list(ls)) == \
+            (f["mus"], f["ns"], f["ls"]), f"label {i}"
+
+
+def test_ctilde_tables_match_standard():
+    from fitsnap_tpu.ops.ace_ref_basis import reference_labels_and_terms
+
+    std = _std_functions()
+    _, terms = reference_labels_and_terms(_Sec())
+    for i, f in enumerate(std):
+        r = f["rank"]
+        ms = [int(x) for x in f["ms_combs"]]
+        cts = [float(x) for x in f["ctildes"]]
+        smap = {tuple(ms[k * r:(k + 1) * r]): cts[k]
+                for k in range(len(cts))}
+        omap = terms[i]
+        keys = set(smap) | set(omap)
+        diff = max(abs(smap.get(k, 0.0) - omap.get(k, 0.0)) for k in keys)
+        assert diff < 1e-12, f"function {i}: ctilde diff {diff}"
+
+
+def test_wigner_3j_orthogonality():
+    from fitsnap_tpu.ops.ace_ref_basis import wigner_3j
+
+    # sum_m3 (2 l3 + 1) 3j(l1 m1 l2 m2 l3 m3)^2 over l3 = 1
+    l1, l2 = 2, 3
+    for m1 in range(-l1, l1 + 1):
+        for m2 in range(-l2, l2 + 1):
+            total = sum((2 * l3 + 1) * wigner_3j(l1, m1, l2, m2,
+                                                 l3, -(m1 + m2)) ** 2
+                        for l3 in range(abs(l1 - l2), l1 + l2 + 1))
+            assert abs(total - 1.0) < 1e-12
+
+
+def test_plan_from_yace_roundtrip():
+    from fitsnap_tpu.ops.ace import plan_from_yace, plan_terms
+
+    plan = plan_from_yace(str(STD / "coupling_coefficients.yace"))
+    assert len(plan.labels) == 68
+    std = _std_functions()
+    terms = plan_terms(plan)
+    for i, f in enumerate(std):
+        r = f["rank"]
+        ms = [int(x) for x in f["ms_combs"]]
+        cts = [float(x) for x in f["ctildes"]]
+        smap = {tuple(ms[k * r:(k + 1) * r]): cts[k]
+                for k in range(len(cts))}
+        keys = set(smap) | set(terms[i])
+        diff = max(abs(smap.get(k, 0.0) - terms[i].get(k, 0.0))
+                   for k in keys)
+        assert diff < 1e-12
