@@ -156,4 +156,24 @@ class PaceOutput:
         SnapOutput.write_errors(self, errors)
 
     def read_fit(self):
-        raise NotImplementedError("only_test for PACE not implemented yet")
+        """Read an existing .acecoeff back for EXTRAS only_test runs.
+
+        (The reference leaves this unimplemented for PACE, pace.py:80-84;
+        the file format is ours so a reader is straightforward.)
+        """
+        pot = self.config.sections["OUTFILE"].potential_name
+        vals = []
+        with open(pot + ".acecoeff") as f:
+            for ln in f:
+                s = ln.strip()
+                if not s or s.startswith("#"):
+                    continue
+                parts = s.split()
+                if len(parts) >= 2 and parts[0].isdigit() \
+                        and parts[1].isdigit():
+                    continue  # "numtypes ncoeff+1" header
+                try:
+                    vals.append(float(parts[0]))
+                except ValueError:
+                    continue  # element-name line
+        return np.asarray(vals)

@@ -182,7 +182,13 @@ class AcePlan:
     t_mu0: np.ndarray = None    # (nlabels,) central element of each label
     rank_max: int = 0
     mmat: np.ndarray = None     # (nterms, nlabels) dense agg matrix
-    radial: str = "v0"          # ChebExpCos convention variant
+    # Conventions default to ML-PACE's (determined against the Ta_PACE
+    # standard: rank-1 betas to 0.05%, higher-rank ratios = (4pi)^(rank/2)):
+    # radial 'pace_px' = g_1 = env, g_n = (1 - T_{n-1}(x))/2 * env with the
+    # increasing exp-scaled x; ylm '4pi' = sqrt(4 pi) * orthonormal Ylm
+    # (Y00 = 1).  'v0'/'std' are this framework's original conventions.
+    radial: str = "pace_px"     # ChebExpCos convention variant
+    ylm: str = "4pi"            # '4pi' | 'std' | 'racah'
 
     @property
     def ncoeff(self):
@@ -403,11 +409,12 @@ def chebexpcos_basis(r, rcut, lmbda, nradbase, variant="v0"):
     cheb = [jnp.ones_like(x), x]
     for _ in range(2, nto):
         cheb.append(2.0 * x * cheb[-1] - cheb[-2])
-    if variant == "pace":
-        # ML-PACE ace_radial.cpp radbase: x decreases 1 -> -1
-        # (x = 2(e^{-lam r/rc} - e^{-lam})/(1 - e^{-lam}) - 1 = -x_v0),
-        # g_1 = env, g_n = 0.5 (1 - T_{n-1}(x)) env for n >= 2
-        xs = -x
+    if variant.startswith("pace"):
+        # ML-PACE ace_radial.cpp radbase:
+        # g_1 = env, g_n = 0.5 (1 - T_{n-1}(x)) env for n >= 2;
+        # pace_mx: x = 2(e^{-lam r/rc} - e^{-lam})/(1 - e^{-lam}) - 1
+        # (decreasing 1 -> -1, = -x_v0); pace_px: increasing x_v0
+        xs = x if variant == "pace_px" else -x
         chs = [jnp.ones_like(xs), xs]
         for _ in range(2, nto):
             chs.append(2.0 * xs * chs[-1] - chs[-2])
@@ -525,6 +532,19 @@ def ace_pair_phi(disp, jelem, mask, ielem, plan: AcePlan):
         g = g * fin[..., None]
     g = g * mask[..., None]
     yr, yi = sph_harm(unit, plan.lmax)
+    if plan.ylm == "racah":
+        # Racah-normalized C_lm = sqrt(4 pi / (2l+1)) Y_lm
+        import math
+        yr = [y * math.sqrt(4.0 * math.pi / (2 * l + 1))
+              for l, y in enumerate(yr)]
+        yi = [y * math.sqrt(4.0 * math.pi / (2 * l + 1))
+              for l, y in enumerate(yi)]
+    elif plan.ylm == "4pi":
+        # ML-PACE normalization: Yhat_lm = sqrt(4 pi) Y_lm (Y00 = 1)
+        import math
+        s = math.sqrt(4.0 * math.pi)
+        yr = [y * s for y in yr]
+        yi = [y * s for y in yi]
 
     nchem = plan.numtypes
     chan = jax.nn.one_hot(jelem, nchem, dtype=dtype)       # (A, K, nchem)

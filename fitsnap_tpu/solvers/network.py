@@ -74,6 +74,7 @@ class NetworkSolver(Solver):
             fw = np.zeros((n,), dtype)
             test = np.zeros((n,), bool)
             groups = []
+            files = []
             for j, i in enumerate(idxs):
                 pc = packed[i]
                 na, kc = pc.natoms, pc.kcount
@@ -89,6 +90,7 @@ class NetworkSolver(Solver):
                 fw[j] = d.get("fweight", 1.0)
                 test[j] = bool(d["test_bool"])
                 groups.append(d["Group"])
+                files.append(str(d.get("File", "")))
 
             fn = jax.jit(jax.vmap(prep))
             chunk = int(min(32, max(1, 1024 // a_pad)))
@@ -126,7 +128,8 @@ class NetworkSolver(Solver):
                     (e_t - ref_e) / np.maximum(nat, 1), dtype),
                 "f_target": jnp.asarray(np.asarray(f_t - ref_f, dtype)),
                 "ew": jnp.asarray(ew), "fw": jnp.asarray(fw),
-                "test": test, "groups": groups, "nat_host": nat,
+                "test": test, "groups": groups, "files": files,
+                "nat_host": nat,
                 "shape": (a_pad, k_pad), "dtype": dtype,
             })
 
@@ -164,6 +167,7 @@ class NetworkSolver(Solver):
             fw = np.zeros((n,), dtype)
             test = np.zeros((n,), bool)
             groups = []
+            files = []
             for j, i in enumerate(idxs):
                 pc = packed[i]
                 na, kc = pc.natoms, pc.kcount
@@ -179,6 +183,7 @@ class NetworkSolver(Solver):
                 fw[j] = d.get("fweight", 1.0)
                 test[j] = bool(d["test_bool"])
                 groups.append(d["Group"])
+                files.append(str(d.get("File", "")))
             real = (np.arange(a_pad)[None, :] < nat[:, None])
             desc = np.asarray(pair_descriptors(
                 jnp.asarray(disp), jnp.asarray(mask), sec.cutoff,
@@ -195,7 +200,8 @@ class NetworkSolver(Solver):
                 "e_target": jnp.asarray(e_t / np.maximum(nat, 1)),
                 "f_target": jnp.asarray(f_t),
                 "ew": jnp.asarray(ew), "fw": jnp.asarray(fw),
-                "test": test, "groups": groups, "nat_host": nat,
+                "test": test, "groups": groups, "files": files,
+                "nat_host": nat,
                 "shape": (a_pad, k_pad), "dtype": dtype,
             })
         mean = s1 / count
@@ -228,6 +234,7 @@ class NetworkSolver(Solver):
             ew = np.zeros((n,), dtype)
             test = np.zeros((n,), bool)
             groups = []
+            files = []
             for j, i in enumerate(idxs):
                 pc = packed[i]
                 na, kc = pc.natoms, pc.kcount
@@ -241,6 +248,7 @@ class NetworkSolver(Solver):
                 ew[j] = d.get("eweight", 1.0)
                 test[j] = bool(d["test_bool"])
                 groups.append(d["Group"])
+                files.append(str(d.get("File", "")))
             fn = jax.jit(jax.vmap(prep))
             chunk = int(min(32, max(1, 1024 // a_pad)))
             Bs = []
@@ -263,7 +271,8 @@ class NetworkSolver(Solver):
                 "nat": jnp.asarray(nat), "real": jnp.asarray(real),
                 "pas_target": jnp.asarray(chis),
                 "ew": jnp.asarray(ew),
-                "test": test, "groups": groups, "nat_host": nat,
+                "test": test, "groups": groups, "files": files,
+                "nat_host": nat,
                 "shape": (a_pad, k_pad), "dtype": dtype,
             })
         mean = sum_b / count
@@ -571,6 +580,48 @@ class NetworkSolver(Solver):
                           "rmse": float(np.sqrt((res ** 2).mean()))})
         self.errors = DataFrame(table).set_index(["Group", "Testing"])
 
+    def _dump_details(self):
+        """Per-config and per-atom prediction files (reference
+        solver.py:210-298 NN dumps, consumed by tools/nn_tools.py)."""
+        extras = self.config.sections["EXTRAS"]
+        outfile = self.config.sections["OUTFILE"]
+        fhc = open(outfile.perconfig_file, "w") if extras.dump_perconfig \
+            else None
+        fha = open(outfile.peratom_file, "w") if extras.dump_peratom \
+            else None
+        if fhc:
+            fhc.write("Filename Group Natoms Energy_Truth Energy_Pred "
+                      "Testing_Bool\n")
+        if fha:
+            fha.write("Filename Group AtomID Type Fx_Truth Fy_Truth "
+                      "Fz_Truth Fx_Pred Fy_Pred Fz_Pred Testing_Bool\n")
+        for ds in self.buckets:
+            e_pred, f_pred = self.evaluate_bucket(ds)
+            e_t = np.asarray(ds["e_target"])
+            f_t = np.asarray(ds["f_target"])
+            types = np.asarray(ds["types"])
+            nat = ds["nat_host"]
+            for i, g in enumerate(ds["groups"]):
+                fn = ds["files"][i]
+                tb = int(ds["test"][i])
+                na = int(nat[i])
+                if fhc:
+                    fhc.write(f"{fn} {g} {na} {e_t[i]:.10e} "
+                              f"{e_pred[i]:.10e} {tb}\n")
+                if fha and f_pred is not None:
+                    for k in range(na):
+                        ft = f_t[i, k]
+                        fp = f_pred[i, k]
+                        fha.write(
+                            f"{fn} {g} {k} {types[i, k] + 1} "
+                            f"{ft[0]:.10e} {ft[1]:.10e} {ft[2]:.10e} "
+                            f"{fp[0]:.10e} {fp[1]:.10e} {fp[2]:.10e} "
+                            f"{tb}\n")
+        if fhc:
+            fhc.close()
+        if fha:
+            fha.close()
+
     def error_analysis(self, a=None, b=None, w=None, fs_dict=None):
         from pandas import DataFrame
 
@@ -579,6 +630,9 @@ class NetworkSolver(Solver):
             return
         if self.pas:
             return self._error_analysis_pas()
+        extras = self.config.sections["EXTRAS"]
+        if extras.dump_perconfig or extras.dump_peratom:
+            self._dump_details()
         rows_e, rows_f = {}, {}
         for ds in self.buckets:
             e_pred, f_pred = self.evaluate_bucket(ds)

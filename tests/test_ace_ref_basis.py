@@ -78,6 +78,51 @@ def test_wigner_3j_orthogonality():
             assert abs(total - 1.0) < 1e-12
 
 
+@pytest.mark.skipif(__import__("os").environ.get(
+    "FITSNAP_TPU_SLOW_TESTS") != "1",
+    reason="~10 min; set FITSNAP_TPU_SLOW_TESTS=1")
+def test_ta_pace_beta_parity(tmp_path, monkeypatch):
+    """End-to-end Ta_PACE fit with natively generated minsub basis +
+    ML-PACE conventions vs the committed standard .acecoeff.
+
+    Descriptor-level parity is exact: evaluating the standard's own betas
+    through this kernel reproduces the committed metrics table to 5-6
+    digits (E MAE 0.0383085 vs 0.0383091).  Betas themselves deviate up to
+    0.55% (rank-1: 0.05%) because the 22-function radial block is
+    near-degenerate and the lstsq null-space split amplifies ~1e-7
+    descriptor roundoff — gate at 1%.
+    """
+    monkeypatch.chdir(tmp_path)
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    infile = tmp_path / "Ta.in"
+    txt = (REFERENCE / "examples/Ta_PACE/Ta.in").read_text()
+    txt = txt.replace("dataPath = ../Ta_Linear_JCP2014/JSON",
+                      f"dataPath = {REFERENCE}/examples/Ta_Linear_JCP2014/JSON")
+    infile.write_text(txt)
+    fs = FitSnap(str(infile), arglist=["--overwrite"])
+    fs.scrape_configs()
+    fs.process_configs()
+    fs.perform_fit()
+    fit = np.asarray(fs.solver.fit)
+    std = []
+    for ln in (STD / "Ta_pot.acecoeff").read_text().splitlines():
+        s = ln.strip()
+        if not s or s.startswith("#"):
+            continue
+        p = s.split()
+        if len(p) >= 2 and p[0].isdigit() and p[1].isdigit():
+            continue
+        try:
+            std.append(float(p[0]))
+        except ValueError:
+            pass
+    std = np.asarray(std)
+    assert fit.shape == std.shape
+    rel = np.abs(fit - std) / np.maximum(np.abs(std), 1e-10)
+    assert rel.max() < 1e-2, f"max rel diff {rel.max():.4%}"
+
+
 def test_plan_from_yace_roundtrip():
     from fitsnap_tpu.ops.ace import plan_from_yace, plan_terms
 

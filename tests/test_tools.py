@@ -1,0 +1,87 @@
+"""Post-processing tools coverage (reference `fitsnap3lib/tools/`)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.util import TA_EXAMPLE
+
+pytestmark = pytest.mark.skipif(not TA_EXAMPLE.exists(),
+                                reason="reference examples not available")
+
+
+def test_group_tools_table_and_validation():
+    from fitsnap_tpu.tools.group_tools import assign_validation, make_table
+
+    table = make_table({
+        "group_sections": ["name", "training_size", "testing_size",
+                           "eweight", "fweight", "vweight"],
+        "A": ["A", 0.7, 0.3, 1.0, 1.0, 1e-8],
+    })
+    assert table["A"]["training_size"] == 0.7
+    gt = {"A": {"nconfigs": 10, "testing_size": 0.3}}
+    assign_validation(gt)
+    assert len(gt["A"]["test_bools"]) == 10
+    assert sum(gt["A"]["test_bools"]) == 2  # tail split: i > ntrain
+
+
+def test_dataframe_tools_errors(tmp_path):
+    from fitsnap_tpu.tools.dataframe_tools import DataframeTools
+
+    df = pd.DataFrame({
+        "truths": [1.0, 2.0, 0.5, -0.5, 1.5, 2.5],
+        "preds": [1.1, 2.1, 0.7, -0.4, 1.5, 2.0],
+        "weights": [1.0] * 6,
+        "Row_Type": ["Energy", "Energy", "Force", "Force", "Force",
+                     "Energy"],
+        "Groups": ["g1", "g1", "g1", "g1", "g1", "g2"],
+        "Testing": [False, False, False, False, True, True],
+    })
+    p = tmp_path / "FitSNAP.df"
+    df.to_pickle(p)
+    dt = DataframeTools(str(p))
+    assert dt.calc_error("Energy", "Training") == pytest.approx(0.1)
+    assert dt.calc_error("Force", "Training") == pytest.approx(0.15)
+    assert dt.calc_error("Energy", "Testing") == pytest.approx(0.5)
+    assert dt.calc_error("Force", "Testing", metric="rmse") == \
+        pytest.approx(0.0)
+    fig = dt.plot_agreement("Energy", "Training", mode="Linear",
+                            fname=str(tmp_path / "agree.png"))
+    assert (tmp_path / "agree.png").exists()
+
+
+def test_nn_tools_errors(tmp_path):
+    from fitsnap_tpu.tools.nn_tools import NNTools
+
+    pc = tmp_path / "perconfig.dat"
+    pc.write_text(
+        "Filename Group Natoms Energy_Truth Energy_Pred Testing_Bool\n"
+        "f1 g 2 1.0 1.2 0\n"
+        "f2 g 2 2.0 2.1 1\n")
+    pa = tmp_path / "peratom.dat"
+    pa.write_text(
+        "Filename Group AtomID Type Fx_Truth Fy_Truth Fz_Truth "
+        "Fx_Pred Fy_Pred Fz_Pred Testing_Bool\n"
+        "f1 g 0 1 0.1 0.2 0.3 0.1 0.2 0.4 0\n"
+        "f2 g 0 1 0.0 0.0 0.0 0.1 0.0 0.0 1\n")
+    nt = NNTools(peratom_file=str(pa), perconfig_file=str(pc))
+    e = nt.calc_errors("Energy")
+    assert e["train"]["mae"] == pytest.approx(0.2)
+    assert e["test"]["mae"] == pytest.approx(0.1)
+    f = nt.calc_errors("Force")
+    assert f["train"]["mae"] == pytest.approx(0.1 / 3)
+    assert f["test"]["mae"] == pytest.approx(0.1 / 3)
+
+
+def test_fd_harness(tmp_path, monkeypatch):
+    """TestTools.finite_difference on a tiny NN fit (reference
+    tools/test_tools.py usage pattern)."""
+    monkeypatch.chdir(tmp_path)
+    from fitsnap_tpu.tools.test_tools import TestTools
+
+    tt = TestTools(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" /
+                       "Ta-example.in"))
+    mean_err, max_err, details = tt.finite_difference(
+        "Displaced_BCC", config_index=0, max_atoms=2)
+    assert mean_err < 1e-5
+    assert max_err < 1e-4
