@@ -197,10 +197,11 @@ class AceSection:
         if len(self.lmin) == 1:
             self.lmin = self.lmin * len(self.ranks)
         self.bzeroflag = r.get(self.name, "bzeroflag", "1", "bool")
-        # basis choice (reference ace.py:43): pa_tabulated (PA-RPI) or
-        # minsub (YSG); 'native' is this framework's own left-fold basis
-        # (interim default until reference-basis generation lands)
-        self.b_basis = r.get(self.name, "b_basis", "native")
+        # basis choice (reference ace.py:43): pa_tabulated (PA-RPI, the
+        # reference default) or minsub (YSG); 'native' is this framework's
+        # own left-fold basis
+        self.b_basis = r.get(self.name, "b_basis", "pa_tabulated")
+        self.wigner_flag = r.get(self.name, "wigner_flag", "1", "bool")
         self.erefs = [float(x) for x in r.get(self.name, "erefs", " ".join(["0.0"] * self.numtypes)).split()]
         self.bikflag = r.get(self.name, "bikflag", "0", "bool")
         self.dgradflag = r.get(self.name, "dgradflag", "0", "bool")

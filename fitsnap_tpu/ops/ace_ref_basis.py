@@ -305,6 +305,92 @@ def pa_labels(rank, nmax, lmax, mumax=1, lmin=0, L_R=0):
     return labels
 
 
+def _pa_block(pattern, lvec):
+    """PA-RPI label content of one tabulated block (pa_gen.py
+    build_tabulated): distinct slot-class arrangements + the ladder-selected
+    intermediate L tuples, for rank-4 blocks.
+
+    Implemented for the uniform lvec (1,1,1,1) (covers every shipped
+    pa_tabulated example; validated against
+    lib/sym_ACE/lib/all_labels_mu8_n12_l12_r4.json):
+      pattern 0000 -> [(0000, (0,0))]
+      pattern 0001 -> [(0001, (0,0))]
+      pattern 0011 -> [(0011, (0,0)), (0101, (0,0))]
+      pattern 0012 -> [(0012, (0,0)), (0102, (0,0))]
+      pattern 0123 -> [(0123, (0,0)), (0213, (0,0)), (0312, (0,0))]
+    i.e. the distinct perfect matchings of the class multiset, coupled at
+    the minimal (0,0) intermediates.
+    """
+    if tuple(lvec) != (1, 1, 1, 1):
+        raise NotImplementedError(
+            "pa_tabulated rank-4 blocks are implemented for lmax=1 "
+            f"(l = (1,1,1,1)); got l = {tuple(lvec)}. Use b_basis = minsub "
+            "for higher angular momenta.")
+    classes = list(pattern)
+    # enumerate the 3 pairings of 4 slots; dedupe by pair-multiset
+    pairings = [((0, 1), (2, 3)), ((0, 2), (1, 3)), ((0, 3), (1, 2))]
+    seen = set()
+    out = []
+    for pr in pairings:
+        pairs = sorted(tuple(sorted((classes[a], classes[b])))
+                       for a, b in pr)
+        key = tuple(pairs)
+        if key in seen:
+            continue
+        seen.add(key)
+        arrangement = tuple(pairs[0] + pairs[1])
+        out.append((arrangement, (0, 0)))
+    return out
+
+
+def pa_tabulated_labels(rank, nmax, lmax, mumax=1, lmin=0, L_R=0):
+    """pa_tabulated (PA-RPI) labels (pa_gen.py pa_labels_raw): for rank >= 4
+    map (mu, n) slot-pair multisets to tabulated block patterns (classes
+    ordered by count desc, then value; gen_labels.py get_mapped) and expand
+    the block's arrangements back to (mus, ns)."""
+    if rank < 4:
+        return generate_nl_labels(rank, nmax, lmax, mumax, lmin, L_R)
+    if rank > 4:
+        raise NotImplementedError(
+            "pa_tabulated label generation implemented for rank <= 4; "
+            "use b_basis = minsub for higher ranks")
+    labels = []
+    seen_nl = set()
+    lvecs = generate_l_vectors(range(lmin, lmax + 1), rank, L_R,
+                               use_permutations=False)
+    n_multisets = list(itertools.combinations_with_replacement(
+        range(1, nmax + 1), rank))
+    mu_multisets = list(itertools.combinations_with_replacement(
+        range(mumax), rank))
+    for mu_ms in mu_multisets:
+        for n_ms in n_multisets:
+            for ls in lvecs:
+                # unique multisets of combined (n, mu) slot pairs over all
+                # pairings of the two multisets (muvec_nvec_combined)
+                combos = set()
+                for mus_p in set(itertools.permutations(mu_ms)):
+                    pairs = tuple(sorted(zip(n_ms, mus_p)))
+                    combos.add(pairs)
+                for pairs in sorted(combos):
+                    # class indices ordered by count desc, then pair value
+                    from collections import Counter
+                    cnt = Counter(pairs)
+                    uniq = sorted(cnt, key=lambda p: (-cnt[p], p))
+                    cls = {p: i for i, p in enumerate(uniq)}
+                    slots = sorted(pairs, key=lambda p: (-cnt[p], p))
+                    pattern = tuple(cls[p] for p in slots)
+                    inv = {i: p for p, i in cls.items()}
+                    for arrangement, L in _pa_block(pattern, ls):
+                        ns = tuple(inv[c][0] for c in arrangement)
+                        mus = tuple(inv[c][1] for c in arrangement)
+                        key = (mus, ns, ls, L)
+                        if key in seen_nl:
+                            continue
+                        seen_nl.add(key)
+                        labels.append((mus, ns, ls, tuple(L)))
+    return labels
+
+
 def _label_string(mu0, mus, ns, ls, Ls):
     """The reference's nu-string format mu0_mu,...,n,...,l,..._L1-L2-..."""
     body = ",".join(str(x) for x in (list(mus) + list(ns) + list(ls)))
@@ -341,6 +427,8 @@ def reference_labels_and_terms(section):
         lmn = section.lmin[idx]
         if rank < 4:
             raw += generate_nl_labels(rank, nmx, lmx, numtypes, lmn)
+        elif basis == "pa_tabulated":
+            raw += pa_tabulated_labels(rank, nmx, lmx, numtypes, lmn)
         else:
             raw += pa_labels(rank, nmx, lmx, numtypes, lmn)
     per_mu0 = sort_labels([(mu0,) + lab for lab in raw

@@ -7,6 +7,7 @@ import pytest
 
 
 class _Sec:
+    b_basis = "native"
     ranks = [1, 2, 3, 4]
     nmax = [3, 2, 2, 1]
     lmax = [1, 2, 2, 2]

@@ -65,6 +65,53 @@ def test_ctilde_tables_match_standard():
         assert diff < 1e-12, f"function {i}: ctilde diff {diff}"
 
 
+INP_STD = REFERENCE / "examples/InP_PACE/ref19Sep2023"
+
+
+@pytest.mark.skipif(not INP_STD.exists(),
+                    reason="InP_PACE standard not available")
+def test_inp_pa_tabulated_labels_and_ctildes():
+    """2-element pa_tabulated basis vs the InP_PACE standard: 173 labels
+    per central element in reference order, exact coupling tables."""
+    import yaml
+
+    from fitsnap_tpu.ops.ace_ref_basis import reference_labels_and_terms
+
+    txt = (INP_STD / "coupling_coefficients.yace").read_text()
+    txt = re.sub(r"^(\s+)(\[[\d,\s]+\]):", r'\1"\2":', txt, flags=re.M)
+    doc = yaml.safe_load(txt)
+
+    class Sec:
+        numtypes = 2
+        ranks = [1, 2, 3, 4]
+        lmax = [1, 2, 2, 1]
+        nmax = [22, 3, 2, 1]
+        lmin = [0, 0, 1, 1]
+        b_basis = "pa_tabulated"
+
+    labels, terms = reference_labels_and_terms(Sec())
+    offset = 0
+    for mu0 in (0, 1):
+        std = doc["functions"][mu0]
+        ours = [lab for lab in labels if lab[0] == mu0]
+        assert len(ours) == len(std) == 173
+        for i, f in enumerate(std):
+            _, mus, ns, ls, _ = ours[i]
+            assert (list(mus), list(ns), list(ls)) == \
+                (f["mus"], f["ns"], f["ls"]), f"mu0={mu0} label {i}"
+            r = f["rank"]
+            ms = [int(x) for x in f["ms_combs"]]
+            cts = [float(x) for x in f["ctildes"]]
+            smap = {tuple(ms[k * r:(k + 1) * r]): cts[k]
+                    for k in range(len(cts))}
+            omap = terms[offset + i]
+            keys = set(smap) | set(omap)
+            diff = max(abs(smap.get(k, 0.0) - omap.get(k, 0.0))
+                       for k in keys)
+            assert diff < 1e-12, f"mu0={mu0} fn {i}: diff {diff}"
+        offset += len(std)
+
+
 def test_wigner_3j_orthogonality():
     from fitsnap_tpu.ops.ace_ref_basis import wigner_3j
 
