@@ -70,6 +70,15 @@ def main():
     evaluate = build_eval_fn(calc.params, calc.numtypes, flags, mesh,
                              refspec=calc.refspec)
 
+    # one host->device transfer; steps run on resident data (the remote-TPU
+    # relay makes implicit per-call numpy uploads dominate otherwise)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    t0 = time.time()
+    dp = NamedSharding(mesh, P(None, "dp"))
+    batch = tuple(jax.device_put(x, dp) for x in batch)
+    jax.block_until_ready(batch)
+    t_put = time.time() - t0
+
     t0 = time.time()
     out = step(batch)
     jax.block_until_ready(out)
@@ -108,9 +117,10 @@ def main():
     log(f"energy MAE {mae_e:.6f} (standard 0.112787)  "
         f"force MAE {mae_f:.6f} (standard 0.075758)")
 
-    end_to_end = t_scrape + t_pre + t_pack + t_step
+    end_to_end = t_scrape + t_pre + t_pack + t_put + t_step
     rows_per_sec = nrows / t_step
-    log(f"scrape {t_scrape:.2f}s  preprocess {t_pre:.2f}s  pack {t_pack:.2f}s")
+    log(f"scrape {t_scrape:.2f}s  preprocess {t_pre:.2f}s  pack {t_pack:.2f}s"
+        f"  device_put {t_put:.2f}s")
     log(f"first step (compile) {t_first:.2f}s  steady step {t_step:.3f}s")
     log(f"end-to-end (amortized) {end_to_end:.2f}s  rows/s {rows_per_sec:.0f}")
 

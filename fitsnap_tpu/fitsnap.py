@@ -87,6 +87,9 @@ def _output_factory(config):
 
 class FitSnap:
     def __init__(self, input=None, comm=None, arglist=None):
+        from fitsnap_tpu.utils.jaxsetup import setup_cache, setup_precision
+        setup_precision()
+        setup_cache()
         self.comm = comm  # accepted for API compatibility; unused
         self.config = Config(input, arglist or [])
         self.scraper = _scraper_factory(self.config)

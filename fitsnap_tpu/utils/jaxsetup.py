@@ -12,6 +12,19 @@ import jax
 _DONE = False
 
 
+def setup_precision():
+    """Enable float64 tracing (the reference's numerical semantics).
+
+    Without `jax_enable_x64`, JAX silently downcasts the calculators'
+    float64 inputs to float32 — on the CPU path that turns 1e-13 golden
+    coefficient parity into ~1e-4 errors. The TPU fast path
+    (`fitsnap_tpu.parallel.fit`) passes explicit float32 row dtypes and is
+    unaffected. Opt out with FITSNAP_TPU_NO_X64=1.
+    """
+    if os.environ.get("FITSNAP_TPU_NO_X64") != "1":
+        jax.config.update("jax_enable_x64", True)
+
+
 def setup_cache():
     global _DONE
     if _DONE:
