@@ -306,6 +306,24 @@ def build_snap_plan(
             for j2 in range(j1 + 1):
                 for j in range(j1 - j2, min(twojmax, j1 + j2) + 1, 2):
                     z_triples.append((j1, j2, j))
+
+        def _znnz(t3):
+            """Nonzero CG entries of one side of the triple's dense tensor."""
+            j1, j2, j = t3
+            cg = cgb(j1, j2, j)
+            shift = (j1 + j2 - j) // 2
+            n = 0
+            for m in range(j + 1):
+                for m1 in range(j1 + 1):
+                    m2 = m + shift - m1
+                    if 0 <= m2 <= j2 and cg[m1, m2] != 0.0:
+                        n += 1
+            return n
+
+        # Sort triples by descending term count (count = nnz_mb * nnz_ma) so
+        # the grouped term-GEMM tables below pad contiguous runs; y_src is
+        # built against this same order, so the flat z layout stays coherent.
+        z_triples.sort(key=lambda t3: _znnz(t3) ** 2, reverse=True)
         zoff = {}
         nz = 0
         for t3 in z_triples:
@@ -354,6 +372,48 @@ def build_snap_plan(
                         z_cpad_raw[t, m, m1, m2] = cg[m1, m2]
         z_dense = {"C_ma": z_cpad, "C_mb": z_cpad_raw,
                    "g1": zg1, "g2": zg2, "D": D, "ntz": ntz}
+
+        # ---- grouped term tables: z as gather + product + batched GEMM ----
+        # The einsum chain over (ntz, D, D, D) tensors tiles terribly on TPU
+        # (trailing dims <= D pad to 128-lane tiles).  Instead enumerate the
+        # nonzero CG*CG product terms per triple and reduce them with a
+        # t-batched (A, P) x (P, D^2) dot: atoms ride the MXU's M dimension,
+        # the contraction axis is the padded term list.  Triples are already
+        # sorted by term count; contiguous runs share one power-of-two pad.
+        def _pad128(n):
+            return max(128, 1 << (int(n) - 1).bit_length())
+
+        counts = []
+        nz_mb, nz_ma = [], []
+        for t in range(ntz):
+            mb_list = [tuple(ix) for ix in np.argwhere(z_cpad_raw[t] != 0)]
+            ma_list = [tuple(ix) for ix in np.argwhere(z_cpad[t] != 0)]
+            nz_mb.append(mb_list)
+            nz_ma.append(ma_list)
+            counts.append(len(mb_list) * len(ma_list))
+        z_groups = []
+        t0g = 0
+        while t0g < ntz:
+            P = _pad128(counts[t0g])
+            t1g = t0g + 1
+            while t1g < ntz and _pad128(counts[t1g]) * 2 > P:
+                t1g += 1
+            Tg = t1g - t0g
+            gi1 = np.zeros((Tg, P), np.int32)
+            gi2 = np.zeros((Tg, P), np.int32)
+            M = np.zeros((Tg, P, D * D))
+            for ti, t in enumerate(range(t0g, t1g)):
+                k = 0
+                for (n, mb1, mb2) in nz_mb[t]:
+                    wb = z_cpad_raw[t, n, mb1, mb2]
+                    for (m, ma1, ma2) in nz_ma[t]:
+                        gi1[ti, k] = zg1[t, mb1, ma1]
+                        gi2[ti, k] = zg2[t, mb2, ma2]
+                        M[ti, k, n * D + m] = wb * z_cpad[t, m, ma1, ma2]
+                        k += 1
+            z_groups.append({"gi1": gi1, "gi2": gi2, "M": M})
+            t0g = t1g
+        z_dense["groups"] = z_groups
 
         # Assemble dB/dutot rows: for B-triple (J1,J2,J) the jacobian is the
         # z-list at (J1,J2,J) in the u_J block, plus (J,J2,J1) in the u_J1

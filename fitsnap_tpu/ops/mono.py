@@ -1,0 +1,175 @@
+"""Monomial-basis formulation of the Wigner-U expansion (host-side plan).
+
+Every element of the SNAP hyperspherical expansion u^j_{mb,ma} is a
+homogeneous polynomial of degree j in the four Cayley-Klein reals
+(ar, ai, br, bi).  The LAMMPS-style two-term recursion
+(`fitsnap_tpu/ops/snap.py:compute_ulist`, mirroring `compute_uarray` in the
+reference's embedded LAMMPS ML-SNAP package) is therefore equivalent to:
+
+    U_flat (2*u_len reals)  =  L  @  M(ar, ai, br, bi)
+
+where M is the vector of ALL monomials of degree <= twojmax (one fused
+elementwise product chain — a DAG where each monomial is one multiply of a
+previous monomial by one variable) and L is a constant change-of-basis
+matrix computed here EXACTLY by propagating polynomials through the same
+recursion.
+
+Why: on TPU the triangular per-j recursion materializes dozens of small
+padded/flipped/masked tensors per pair (HBM-traffic bound, ~20x off
+speed-of-light); the monomial form is a pure elementwise chain (fuses into
+registers) plus one MXU-shaped GEMM, and carries forward-mode tangents for
+the cost of 3 extra chains sharing the same GEMM.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+
+
+class _Poly:
+    """Real-coefficient polynomial over monomials in 4 variables.
+
+    Monomials keyed by exponent tuples (p, q, r, s) for (ar, ai, br, bi).
+    """
+
+    __slots__ = ("c",)
+
+    def __init__(self, c=None):
+        self.c = dict(c or {})
+
+    @staticmethod
+    def const(v):
+        return _Poly({(0, 0, 0, 0): float(v)} if v else {})
+
+    @staticmethod
+    def var(i):
+        e = [0, 0, 0, 0]
+        e[i] = 1
+        return _Poly({tuple(e): 1.0})
+
+    def __add__(self, o):
+        if isinstance(o, (int, float)):
+            o = _Poly.const(o)
+        c = dict(self.c)
+        for k, v in o.c.items():
+            c[k] = c.get(k, 0.0) + v
+        return _Poly(c)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self + (-1.0) * o
+
+    def __rsub__(self, o):
+        return (-1.0) * self + o
+
+    def __neg__(self):
+        return (-1.0) * self
+
+    def __mul__(self, o):
+        if isinstance(o, (int, float, np.floating)):
+            return _Poly({k: v * float(o) for k, v in self.c.items()})
+        c = {}
+        for k1, v1 in self.c.items():
+            for k2, v2 in o.c.items():
+                k = tuple(a + b for a, b in zip(k1, k2))
+                c[k] = c.get(k, 0.0) + v1 * v2
+        return _Poly(c)
+
+    __rmul__ = __mul__
+
+
+def monomial_dag(degmax: int):
+    """All monomials of degree <= degmax over 4 vars, as a product DAG.
+
+    Returns (exponents (n, 4) int array, parent (n,) int, var (n,) int):
+    monomial[i] = monomial[parent[i]] * variable[var[i]] for i >= 1;
+    monomial[0] = 1.  Ordered by total degree, then lex.
+    """
+    exps = [(0, 0, 0, 0)]
+    index = {(0, 0, 0, 0): 0}
+    parent, var = [-1], [-1]
+    for d in range(1, degmax + 1):
+        for p in range(d, -1, -1):
+            for q in range(d - p, -1, -1):
+                for r in range(d - p - q, -1, -1):
+                    s = d - p - q - r
+                    e = (p, q, r, s)
+                    for vi, red in enumerate(
+                            [(p - 1, q, r, s), (p, q - 1, r, s),
+                             (p, q, r - 1, s), (p, q, r, s - 1)]):
+                        if min(red) >= 0:
+                            index[e] = len(exps)
+                            exps.append(e)
+                            parent.append(index[red])
+                            var.append(vi)
+                            break
+    return (np.array(exps, np.int64), np.array(parent, np.int64),
+            np.array(var, np.int64))
+
+
+def _ulist_polys(twojmax: int):
+    """Run the U recursion over polynomial entries (exact; host-side)."""
+    from fitsnap_tpu.ops.cg import rootpq_tables, sym_signs
+
+    tables = rootpq_tables(twojmax)
+    signs = sym_signs(twojmax)
+    ar, ai = _Poly.var(0), _Poly.var(1)
+    br, bi = _Poly.var(2), _Poly.var(3)
+    zero = _Poly.const(0.0)
+
+    def grid(n):
+        return np.full((n, n), zero, object)
+
+    u = [(np.full((1, 1), _Poly.const(1.0), object), grid(1))]
+    for j in range(1, twojmax + 1):
+        pr, pi = u[j - 1]
+        pr_a, pi_a = grid(j + 1), grid(j + 1)
+        pr_b, pi_b = grid(j + 1), grid(j + 1)
+        pr_a[:j, :j] = pr
+        pi_a[:j, :j] = pi
+        pr_b[:j, 1:] = pr
+        pi_b[:j, 1:] = pi
+        ca, cb = tables[j - 1]
+        half_r, half_i = grid(j + 1), grid(j + 1)
+        for mb in range(j + 1):
+            for ma in range(j + 1):
+                ta_r = ar * pr_a[mb, ma] + ai * pi_a[mb, ma]
+                ta_i = ar * pi_a[mb, ma] - ai * pr_a[mb, ma]
+                tb_r = br * pr_b[mb, ma] + bi * pi_b[mb, ma]
+                tb_i = br * pi_b[mb, ma] - bi * pr_b[mb, ma]
+                half_r[mb, ma] = ca[mb, ma] * ta_r - cb[mb, ma] * tb_r
+                half_i[mb, ma] = ca[mb, ma] * ta_i - cb[mb, ma] * tb_i
+        sign = signs[j - 1]
+        ur, ui = grid(j + 1), grid(j + 1)
+        for mb in range(j + 1):
+            for ma in range(j + 1):
+                if 2 * mb <= j:
+                    ur[mb, ma] = half_r[mb, ma]
+                    ui[mb, ma] = half_i[mb, ma]
+                else:
+                    ur[mb, ma] = sign[mb, ma] * half_r[j - mb, j - ma]
+                    ui[mb, ma] = -sign[mb, ma] * half_i[j - mb, j - ma]
+        u.append((ur, ui))
+    return u
+
+
+@lru_cache(maxsize=None)
+def mono_plan(twojmax: int):
+    """(exponents, parent, var, L) with L (n_mono, 2*u_len) mapping the
+    monomial vector to flattened [ur | ui] (the `flatten_ulist` layout)."""
+    exps, parent, var = monomial_dag(twojmax)
+    index = {tuple(e): i for i, e in enumerate(exps)}
+    u = _ulist_polys(twojmax)
+    cols = []
+    for comp in (0, 1):
+        for j in range(twojmax + 1):
+            grid_ = u[j][comp]
+            for mb in range(j + 1):
+                for ma in range(j + 1):
+                    cols.append(grid_[mb, ma])
+    L = np.zeros((len(exps), len(cols)))
+    for ci, poly in enumerate(cols):
+        for e, v in poly.c.items():
+            L[index[e], ci] = v
+    return exps, parent, var, L

@@ -42,12 +42,20 @@ def shift_table(nmax: np.ndarray) -> np.ndarray:
 
 
 def host_neighbors(pos, cell, natoms, cutoff, a_pad=None, k_pad=None):
-    """Host-side (numpy) padded neighbor list for one config.
+    """Host-side padded neighbor list for one config.
 
     Cheap irregular work stays on CPU; the fixed-shape (A, K) tensors it
     produces feed the jitted descriptor kernels.  Returns
     (disp (A,K,3), jidx (A,K), mask (A,K), count) with A/K padded if given.
+
+    Dispatches to the native C++ builder (`fitsnap_tpu/native`) when
+    available — same image enumeration and slot ordering, without the
+    O(A^2 * S) dense temporaries — and falls back to numpy below.
     """
+    from fitsnap_tpu.native import host_neighbors_native
+    out = host_neighbors_native(pos, cell, natoms, cutoff, a_pad, k_pad)
+    if out is not None:
+        return out
     pos = np.asarray(pos, np.float64)[:natoms]
     cell = np.asarray(cell, np.float64)
     shifts = shift_table(required_shifts(cell, cutoff))

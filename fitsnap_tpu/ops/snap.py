@@ -137,6 +137,72 @@ def compute_ulist(ar, ai, br, bi, twojmax):
     return u
 
 
+def compute_ulist_duals(a_d, b_d, twojmax):
+    """U expansion carrying the primal and 3 directional tangents together.
+
+    Each Cayley-Klein input is a dual (p, t) with p (...,) and t (3, ...).
+    One traced recursion propagates all four components — the same math as
+    `jax.jvp` three times over `compute_ulist`, but the primal intermediates
+    are computed once instead of four times (the recursion is bilinear, so
+    products follow the rule (xy)' = x y' + x' y).
+    Returns list over j of ((ur_p, ur_t), (ui_p, ui_t)).
+    """
+    (ar, art), (ai, ait), (br, brt), (bi, bit) = a_d[0], a_d[1], b_d[0], b_d[1]
+    dtype = ar.dtype
+    batch = ar.shape
+    tables = rootpq_tables(twojmax)
+    signs = sym_signs(twojmax)
+
+    def dmul(x, y):
+        """Dual product: ((p, t), (p, t)) -> (p, t)."""
+        (xp, xt), (yp, yt) = x, y
+        return xp * yp, xp[None] * yt + xt * yp[None]
+
+    def dadd(x, y, sign=1.0):
+        return x[0] + sign * y[0], x[1] + sign * y[1]
+
+    def dlin(f, x):
+        """Apply a linear op to both components (tangent maps elementwise)."""
+        return f(x[0]), jax.vmap(f)(x[1])
+
+    one = (jnp.ones(batch + (1, 1), dtype),
+           jnp.zeros((3,) + batch + (1, 1), dtype))
+    zero_like = lambda p: (p[0] * 0, p[1] * 0)
+    u = [(one, zero_like(one))]            # (ur_dual, ui_dual)
+
+    def expand(p, t):
+        return p[..., None, None], t[..., None, None]
+
+    arx, aix = expand(ar, art), expand(ai, ait)
+    brx, bix = expand(br, brt), expand(bi, bit)
+    for j in range(1, twojmax + 1):
+        pr, pi = u[j - 1]
+        pad_a = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 1), (0, 1)])
+        pad_b = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 1), (1, 0)])
+        pr_a, pi_a = dlin(pad_a, pr), dlin(pad_a, pi)
+        pr_b, pi_b = dlin(pad_b, pr), dlin(pad_b, pi)
+        ca, cb = tables[j - 1]
+        ca = jnp.asarray(ca, dtype)
+        cb = jnp.asarray(cb, dtype)
+        ta_r = dadd(dmul(arx, pr_a), dmul(aix, pi_a))
+        ta_i = dadd(dmul(arx, pi_a), dmul(aix, pr_a), -1.0)
+        tb_r = dadd(dmul(brx, pr_b), dmul(bix, pi_b))
+        tb_i = dadd(dmul(brx, pi_b), dmul(bix, pr_b), -1.0)
+        scale = lambda c: (lambda x: c * x)
+        half_r = dadd(dlin(scale(ca), ta_r), dlin(scale(cb), tb_r), -1.0)
+        half_i = dadd(dlin(scale(ca), ta_i), dlin(scale(cb), tb_i), -1.0)
+        sign = jnp.asarray(signs[j - 1], dtype)
+        flip = lambda s: (lambda x: s * x[..., ::-1, ::-1])
+        sym_r = dlin(flip(sign), half_r)
+        sym_i = dlin(flip(-sign), half_i)
+        mb = np.arange(j + 1)[:, None]
+        low = jnp.asarray((2 * mb <= j) + np.zeros((j + 1, j + 1), bool))
+        sel = lambda lo, hi: (jnp.where(low, lo[0], hi[0]),
+                              jnp.where(low, lo[1], hi[1]))
+        u.append((sel(half_r, sym_r), sel(half_i, sym_i)))
+    return u
+
+
 def flatten_ulist(u):
     """Concatenate per-j U blocks into a flat (..., U) vector pair."""
     ur = jnp.concatenate([x[0].reshape(x[0].shape[:-2] + (-1,)) for x in u], -1)
@@ -294,6 +360,73 @@ def _pair_wu(disp, jelem, mask, ielem, p: SnapParams):
     return wu
 
 
+def _pair_wu_duals(disp, jelem, mask, ielem, p: SnapParams):
+    """Weighted per-pair U expansion with displacement tangents, one pass.
+
+    Returns (wu (A, K, 2U), J (3, A, K, 2U)) — identical to `_pair_wu` plus
+    its three `jax.jvp` directional derivatives, but the bilinear U recursion
+    runs once with fused dual arithmetic instead of four separate traces.
+    The scalar prologue (Cayley-Klein parameters + switching weight) is
+    differentiated with jvp — it is (A, K)-sized and cheap.
+    """
+    dtype = disp.dtype
+    plan = p.plan
+
+    def scal(d):
+        safe = jnp.where(mask[..., None], d, jnp.array([1.0, 0.0, 0.0], dtype))
+        x, y, z = safe[..., 0], safe[..., 1], safe[..., 2]
+        r = jnp.sqrt(x * x + y * y + z * z)
+        radelem = jnp.asarray(p.radelem, dtype)
+        rcutij = (radelem[ielem][:, None] + radelem[jelem]) * p.rcutfac
+        theta0 = (r - p.rmin0) * (p.rfac0 * jnp.pi) / (rcutij - p.rmin0)
+        z0 = r / jnp.tan(theta0)
+        r0inv = 1.0 / jnp.sqrt(r * r + z0 * z0)
+        ar, ai = r0inv * z0, -r0inv * z
+        br, bi = r0inv * y, -r0inv * x
+        sinnerij = dinnerij = None
+        if p.switchinnerflag:
+            sin_el = jnp.asarray(p.sinner, dtype)
+            din_el = jnp.asarray(p.dinner, dtype)
+            sinnerij = 0.5 * (sin_el[ielem][:, None] + sin_el[jelem])
+            dinnerij = 0.5 * (din_el[ielem][:, None] + din_el[jelem])
+        sfac = compute_sfac(r, rcutij, p.rmin0, p.switchflag,
+                            sinnerij, dinnerij, p.switchinnerflag)
+        wjel = jnp.asarray(p.wj, dtype)
+        w = jnp.where(mask, sfac * wjel[jelem], jnp.zeros_like(r))
+        return ar, ai, br, bi, w
+
+    eye = jnp.eye(3, dtype=dtype)
+    tg = jnp.broadcast_to(eye[:, None, None, :], (3,) + disp.shape)
+    prim = scal(disp)
+    tans = jax.vmap(lambda t: jax.jvp(scal, (disp,), (t,))[1])(tg)
+    wp, wt = prim[4], tans[4]
+
+    # Monomial form: every U component is a homogeneous polynomial in the
+    # Cayley-Klein reals, so the whole expansion is one fused elementwise
+    # product chain plus a single dense change-of-basis GEMM (ops/mono.py).
+    # The triangular recursion's padded/flipped per-j tensors never touch
+    # HBM; tangents ride the same GEMM as three extra monomial chains.
+    from fitsnap_tpu.ops.mono import mono_plan
+    _, parent, varidx, L = mono_plan(plan.twojmax)
+    Lj = jnp.asarray(L, dtype)
+    n_mono = len(parent)
+    vprim = prim[:4]                      # ar, ai, br, bi: (A, K)
+    vtan = tans[:4]                       # each (3, A, K)
+    Mp = [jnp.ones_like(vprim[0])]
+    Mt = [jnp.zeros_like(vtan[0])]
+    for i in range(1, n_mono):
+        pa, vi = int(parent[i]), int(varidx[i])
+        Mp.append(Mp[pa] * vprim[vi])
+        Mt.append(Mt[pa] * vprim[vi][None] + Mp[pa][None] * vtan[vi])
+    Mp = jnp.stack(Mp, -1)                # (A, K, n_mono)
+    Mt = jnp.stack(Mt, -1)                # (3, A, K, n_mono)
+    U = Mp @ Lj                           # (A, K, 2U)
+    Ut = Mt @ Lj                          # (3, A, K, 2U)
+    wu = wp[..., None] * U
+    J = wp[None, ..., None] * Ut + wt[..., None] * U[None]
+    return wu, J
+
+
 def _utot_from_wu(wu, jelem, ielem, p: SnapParams):
     """Sum pair contributions into (A, nchem*2U) [channels: (chem, reim*U)]."""
     plan = p.plan
@@ -338,41 +471,14 @@ def _bext_single(ut, plan: SnapPlan):
 
 
 def _compute_zcat(ut, plan: SnapPlan):
-    """Flattened z-lists for all idxz triples via dense CG einsums.
+    """Flattened z-lists for all idxz triples.
 
     ut: (A, 2U).  Returns (z_r, z_i): (A, nzflat) where the layout follows
-    the plan's z-triple enumeration with full (mb, ma) grids.  Each triple is
-    a pair of small batched GEMMs against its dense CG tensor — the
-    TestSNAP-style decomposition that keeps the MXU busy instead of doing
-    sparse gathers.
+    the plan's z-triple enumeration with full (mb, ma) grids.
     """
-    dtype = ut.dtype
-    A = ut.shape[0]
     U = plan.u_len
-    utr, uti = ut[:, :U], ut[:, U:]
-    zd = plan.z_dense
-    D = zd["D"]
-
-    g1 = jnp.asarray(zd["g1"])                 # (ntz, D, D) [mb1, ma1]
-    g2 = jnp.asarray(zd["g2"])                 # (ntz, D, D) [mb2, ma2]
-    # C_ma has 1/(2j+1) bnorm folded (applied once); C_mb is raw
-    Cma = jnp.asarray(zd["C_ma"], dtype)       # (ntz, ma, ma1, ma2)
-    Cmb = jnp.asarray(zd["C_mb"], dtype)       # (ntz, mb, mb1, mb2)
-
-    u1r, u1i = utr[:, g1], uti[:, g1]          # (A, ntz, D, D)
-    u2r, u2i = utr[:, g2], uti[:, g2]
-    # t1[a,t,c(mb2),m(ma),j(ma1)] = sum_k u2[a,t,c,k] C_ma[t,m,j,k]
-    t1r = jnp.einsum("atck,tmjk->atcmj", u2r, Cma)
-    t1i = jnp.einsum("atck,tmjk->atcmj", u2i, Cma)
-    # t2[a,t,b(mb1),c(mb2),m] = sum_j u1[a,t,b,j] t1[a,t,c,m,j]
-    t2r = jnp.einsum("atbj,atcmj->atbcm", u1r, t1r) \
-        - jnp.einsum("atbj,atcmj->atbcm", u1i, t1i)
-    t2i = jnp.einsum("atbj,atcmj->atbcm", u1r, t1i) \
-        + jnp.einsum("atbj,atcmj->atbcm", u1i, t1r)
-    # z[a,t,n(mb),m(ma)] = sum_{b,c} C_mb[t,n,b,c] t2[a,t,b,c,m]
-    zr = jnp.einsum("tnbc,atbcm->atnm", Cmb, t2r)
-    zi = jnp.einsum("tnbc,atbcm->atnm", Cmb, t2i)
-    return zr.reshape(A, -1), zi.reshape(A, -1)
+    return _compute_zcat_pair(ut[:, :U], ut[:, U:], ut[:, :U], ut[:, U:],
+                              plan)
 
 
 def _dbdu_ylist(ut, plan: SnapPlan, zcat=None):
@@ -411,13 +517,8 @@ def descriptors_with_jacobian(disp, jelem, mask, ielem, p: SnapParams):
     plan = p.plan
     nchem = plan.nelements if plan.chemflag else 1
 
-    f = lambda d: _pair_wu(d, jelem, mask, ielem, p)
-    wu = f(disp)                                    # (A, K, 2U)
-    eye = jnp.eye(3, dtype=disp.dtype)
-    tangents = jnp.broadcast_to(eye[:, None, None, :],
-                                (3,) + disp.shape)
-    J = jax.vmap(lambda t: jax.jvp(f, (disp,), (t,))[1])(tangents)
-    # J: (3, A, K, 2U) per-pair tangents of the weighted U expansion
+    wu, J = _pair_wu_duals(disp, jelem, mask, ielem, p)
+    # wu: (A, K, 2U); J: (3, A, K, 2U) per-pair tangents
 
     ut = _utot_from_wu(wu, jelem, ielem, p)         # (A, nchem*2U)
 
@@ -533,24 +634,31 @@ def _chem_b_and_dbdu(ut, plan: SnapPlan):
 
 
 def _compute_zcat_pair(u1r, u1i, u2r, u2i, plan: SnapPlan):
-    """z-list with u1 from one channel, u2 from another (chem pairing)."""
+    """z-list with u1 from one channel, u2 from another (chem pairing).
+
+    TPU-shaped: the nonzero CG*CG product terms are gathered per z-triple
+    (padded term lists grouped by size, `cg.py` z_groups), multiplied as
+    complex pairs, and reduced with one t-batched (A, P) x (P, D^2) GEMM per
+    group — atoms ride the MXU M dimension instead of the <=D-sized trailing
+    dims of the old einsum chain (which padded every tile to 128 lanes).
+    """
     dtype = u1r.dtype
     A = u1r.shape[0]
     zd = plan.z_dense
-    g1 = jnp.asarray(zd["g1"])
-    g2 = jnp.asarray(zd["g2"])
-    Cma = jnp.asarray(zd["C_ma"], dtype)
-    Cmb = jnp.asarray(zd["C_mb"], dtype)
-    a_r, a_i = u1r[:, g1], u1i[:, g1]
-    b_r, b_i = u2r[:, g2], u2i[:, g2]
-    t1r = jnp.einsum("atck,tmjk->atcmj", b_r, Cma)
-    t1i = jnp.einsum("atck,tmjk->atcmj", b_i, Cma)
-    t2r = jnp.einsum("atbj,atcmj->atbcm", a_r, t1r) \
-        - jnp.einsum("atbj,atcmj->atbcm", a_i, t1i)
-    t2i = jnp.einsum("atbj,atcmj->atbcm", a_r, t1i) \
-        + jnp.einsum("atbj,atcmj->atbcm", a_i, t1r)
-    zr = jnp.einsum("tnbc,atbcm->atnm", Cmb, t2r)
-    zi = jnp.einsum("tnbc,atbcm->atnm", Cmb, t2i)
+    zr_parts, zi_parts = [], []
+    for g in zd["groups"]:
+        gi1 = jnp.asarray(g["gi1"])            # (Tg, P)
+        gi2 = jnp.asarray(g["gi2"])
+        M = jnp.asarray(g["M"], dtype)         # (Tg, P, D*D)
+        a_r, a_i = u1r[:, gi1], u1i[:, gi1]    # (A, Tg, P)
+        b_r, b_i = u2r[:, gi2], u2i[:, gi2]
+        pr = a_r * b_r - a_i * b_i
+        pi = a_r * b_i + a_i * b_r
+        dn = (((2,), (1,)), ((1,), (0,)))      # contract P, batch Tg
+        zr_parts.append(jax.lax.dot_general(pr, M, dn))   # (Tg, A, D*D)
+        zi_parts.append(jax.lax.dot_general(pi, M, dn))
+    zr = jnp.concatenate(zr_parts, 0).transpose(1, 0, 2)
+    zi = jnp.concatenate(zi_parts, 0).transpose(1, 0, 2)
     return zr.reshape(A, -1), zi.reshape(A, -1)
 
 
