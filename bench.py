@@ -43,52 +43,67 @@ def main():
     t_scrape = time.time() - t_start
 
     calc = fs.calculator
+    # host preprocessing is only packing + a native neighbor COUNT pass;
+    # neighbor lists themselves are built on device from positions, with
+    # configs grouped so the image-table size tracks their cell size
+    from fitsnap_tpu.parallel.fit import (build_eval_fn, pack_batch_pos,
+                                          plan_shift_groups)
     t0 = time.time()
-    packed, _ = calc.host_preprocess(fs.data)
+    packed = [calc._pack(d) for d in fs.data]
+    groups = plan_shift_groups(packed, calc.cutoff)
     t_pre = time.time() - t0
 
-    a_pad = max(8, -(-max(pc.natoms for pc in packed) // 8) * 8)
-    k_pad = max(8, -(-max(pc.kcount for pc in packed) // 8) * 8)
     mesh = make_mesh()
     ndev = mesh.devices.size
-    # chunk so the transient per-pair U tangents stay well under HBM
-    csize = max(1, min(16, (1 << 28) // (a_pad * k_pad * 280 * 4 * 3)))
-    per = ndev * csize
-    chunks = -(-len(packed) // per)
-    n_pad = chunks * per
-    log(f"{len(packed)} configs -> ({chunks} chunks x {per}) "
-        f"a_pad={a_pad} k_pad={k_pad}")
-
-    t0 = time.time()
-    batch = pack_batch(packed, a_pad, k_pad, n_pad, dtype, chunks=chunks)
-    t_pack = time.time() - t0
-
-    flags = {"energy": True, "force": True, "stress": True}
-    step = build_step_fn(calc.params, calc.numtypes, flags, mesh,
-                         refspec=calc.refspec)
-    from fitsnap_tpu.parallel.fit import build_eval_fn
-    evaluate = build_eval_fn(calc.params, calc.numtypes, flags, mesh,
-                             refspec=calc.refspec)
-
-    # one host->device transfer; steps run on resident data (the remote-TPU
-    # relay makes implicit per-call numpy uploads dominate otherwise)
     from jax.sharding import NamedSharding, PartitionSpec as P
-    t0 = time.time()
     dp = NamedSharding(mesh, P(None, "dp"))
-    batch = tuple(jax.device_put(x, dp) for x in batch)
-    jax.block_until_ready(batch)
-    t_put = time.time() - t0
+    flags = {"energy": True, "force": True, "stress": True}
+
+    t_pack = t_put = 0.0
+    runs = []
+    for g in groups:
+        a_pad, k_pad, s_table = g["a_pad"], g["k_pad"], g["s_table"]
+        cfgs = g["configs"]
+        # chunk so the transient per-pair U tangents stay well under HBM
+        csize = max(1, min(16, (1 << 28) // (a_pad * k_pad * 280 * 4 * 3)))
+        per = ndev * csize
+        chunks = -(-len(cfgs) // per)
+        n_pad = chunks * per
+        log(f"group: {len(cfgs)} configs -> ({chunks} chunks x {per}) "
+            f"a_pad={a_pad} k_pad={k_pad} S={len(s_table)}")
+        t0 = time.time()
+        batch = pack_batch_pos(cfgs, a_pad, n_pad, s_table, dtype,
+                               chunks=chunks)
+        t_pack += time.time() - t0
+        neighbors = {"cutoff": calc.cutoff, "k_pad": k_pad}
+        step = build_step_fn(calc.params, calc.numtypes, flags, mesh,
+                             refspec=calc.refspec, neighbors=neighbors)
+        evaluate = build_eval_fn(calc.params, calc.numtypes, flags, mesh,
+                                 refspec=calc.refspec, neighbors=neighbors)
+        # one host->device transfer; steps run on resident data (the remote
+        # relay makes implicit per-call numpy uploads dominate otherwise)
+        t0 = time.time()
+        batch = jax.device_put(batch, dp)
+        jax.block_until_ready(batch)
+        t_put += time.time() - t0
+        runs.append((step, evaluate, batch))
 
     t0 = time.time()
-    out = step(batch)
-    jax.block_until_ready(out)
+    for step, _, batch in runs:
+        jax.block_until_ready(step(batch))
     t_first = time.time() - t0
 
     from fitsnap_tpu.parallel.fit import NormalSolver
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        AtA, Atb, nrows = step(batch)
+        AtA = Atb = None
+        nrows = 0.0
+        for step, _, batch in runs:
+            a, b, n = step(batch)
+            AtA = a if AtA is None else AtA + a
+            Atb = b if Atb is None else Atb + b
+            nrows = nrows + np.asarray(n)
         solver = NormalSolver(np.asarray(AtA))
         coeff = solver.solve(np.asarray(Atb))
     t_step = (time.time() - t0) / reps
@@ -110,8 +125,13 @@ def main():
                     coeff - std).max()
     log(f"max|coeff - standard| = {dcoeff:.3e}")
 
-    se, ne, sf, nf = [float(np.asarray(x))
-                      for x in evaluate(jnp.asarray(coeff, dtype), batch)]
+    se = ne = sf = nf = 0.0
+    for _, evaluate, batch in runs:
+        o = evaluate(jnp.asarray(coeff, dtype), batch)
+        se += float(np.asarray(o[0]))
+        ne += float(np.asarray(o[1]))
+        sf += float(np.asarray(o[2]))
+        nf += float(np.asarray(o[3]))
     mae_e, mae_f = se / ne, sf / nf
     # committed standard unweighted training MAEs (Ta_metrics.md)
     log(f"energy MAE {mae_e:.6f} (standard 0.112787)  "

@@ -83,6 +83,18 @@ def host_neighbors(pos, cell, natoms, cutoff, a_pad=None, k_pad=None):
     return disp, jidx, mask, kmax
 
 
+def count_neighbors(pos, cell, natoms, cutoff) -> int:
+    """Max neighbor count for one config (native C++ when available)."""
+    from fitsnap_tpu.native import get_lib, _dptr
+    lib = get_lib()
+    if lib is None:
+        return count_neighbors_np(pos, cell, natoms, cutoff)
+    p = np.ascontiguousarray(np.asarray(pos, np.float64)[:natoms])
+    c = np.ascontiguousarray(np.asarray(cell, np.float64))
+    return lib.fs_neighbors(_dptr(p), _dptr(c), natoms, cutoff,
+                            0, 0, None, None, None)
+
+
 def count_neighbors_np(pos, cell, natoms, cutoff) -> int:
     """Host-side numpy preprocessing: max neighbor count for one config."""
     pos = np.asarray(pos, np.float64)[:natoms]

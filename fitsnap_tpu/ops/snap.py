@@ -407,11 +407,15 @@ def _pair_wu_duals(disp, jelem, mask, ielem, p: SnapParams):
     # The triangular recursion's padded/flipped per-j tensors never touch
     # HBM; tangents ride the same GEMM as three extra monomial chains.
     from fitsnap_tpu.ops.mono import mono_plan
-    _, parent, varidx, L = mono_plan(plan.twojmax)
+    exps, parent, varidx, L = mono_plan(plan.twojmax)
     Lj = jnp.asarray(L, dtype)
+    # scalar product chain: XLA fuses the whole DAG into one register-level
+    # pass that writes the stacked monomial tensor once (a level-vectorized
+    # gather variant traced smaller but ran 2x slower — small trailing-dim
+    # gathers defeat fusion)
+    vprim = prim[:4]
+    vtan = tans[:4]
     n_mono = len(parent)
-    vprim = prim[:4]                      # ar, ai, br, bi: (A, K)
-    vtan = tans[:4]                       # each (3, A, K)
     Mp = [jnp.ones_like(vprim[0])]
     Mt = [jnp.zeros_like(vtan[0])]
     for i in range(1, n_mono):

@@ -28,6 +28,97 @@ from fitsnap_tpu.ops.refpot import reference_eav
 from fitsnap_tpu.ops.snap import descriptors_with_jacobian
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (f32-safe)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def device_neighbors(pos_hi, pos_lo, svec_hi, svec_lo, natoms, cutoff,
+                     k_pad):
+    """On-device neighbor construction for one padded config.
+
+    Positions are ~50x smaller than the (disp, jidx, mask) tensors, so
+    building neighbor lists on-chip removes most of the host->device
+    transfer and all of the host-side neighbor pass.
+
+    Inputs come as hi/lo float pairs (host f64 split): naive f32
+    `pos_j + svec - pos_i` loses ~2e-6 A to cancellation against ~40 A
+    intermediates, which the steep ZBL reference subtraction amplifies to
+    percent-level truth errors on close-pair configs.  Selection runs on the
+    cheap hi parts; the selected displacements are reassembled with a
+    compensated TwoSum chain (error ~1 ulp of the final ~4 A value).
+
+    svec: per-config image shift vectors (S, 3) = shifts @ cell^T, computed
+    f64 on host (`pack_batch_pos`); padded images fall outside the cutoff.
+    """
+    A = pos_hi.shape[0]
+    dtp = pos_hi.dtype
+    S = svec_hi.shape[0]
+    cand = pos_hi[None, :, :] + svec_hi[:, None, :]                # (S, A, 3)
+    diff = cand[None, :, :, :] - pos_hi[:, None, None, :]          # (A,S,A,3)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    i_idx = jnp.arange(A)
+    j_real = i_idx[None, None, :] < natoms
+    i_real = (i_idx < natoms)[:, None, None]
+    home = jnp.all((svec_hi == 0) & (svec_lo == 0), axis=1)        # (S,)
+    self_pair = home[None, :, None] & (i_idx[:, None, None]
+                                       == i_idx[None, None, :])
+    valid = (d2 < cutoff * cutoff) & j_real & i_real & ~self_pair
+    # nearest-first top-k selection: if k_pad ever truncates, only the
+    # farthest (switching-function-suppressed) pairs are dropped
+    score = jnp.where(valid, -d2, -jnp.inf).reshape(A, S * A)
+    vals, order = jax.lax.top_k(score, k_pad)                      # (A, K)
+    mask = vals > -jnp.inf
+    s_sel, j_sel = order // A, order % A
+    s1, e1 = _two_sum(svec_hi[s_sel], pos_hi[j_sel])
+    s2, e2 = _two_sum(s1, -pos_hi[:, None, :])
+    lo = svec_lo[s_sel] + pos_lo[j_sel] - pos_lo[:, None, :]
+    disp = s2 + (e1 + e2 + lo)
+    disp = jnp.where(mask[..., None], disp, jnp.array([1.0, 0.0, 0.0], dtp))
+    jidx = j_sel.astype(jnp.int32)
+    return disp, jidx, mask
+
+
+def batch_shift_table(cells, cutoff):
+    """Host-side: one static image-shift table covering all cells."""
+    from fitsnap_tpu.ops.neighbors import required_shifts, shift_table
+    nmax = np.max([required_shifts(c, cutoff) for c in cells], axis=0)
+    return tuple(map(tuple, shift_table(nmax)))
+
+
+def plan_shift_groups(packed, cutoff):
+    """Group configs so image-table size tracks cell size.
+
+    A global shift table sized for the smallest cell (e.g. a 2-atom EOS
+    volume scan needing +-3 images) would make every large config pay an
+    S*A candidate axis; grouping by per-config max shift keeps S=27 for the
+    bulk of a typical dataset.  Returns a list of
+    {"configs", "a_pad", "k_pad", "s_table"} with natoms/neighbor pads
+    computed per group (native count pass).
+    """
+    from fitsnap_tpu.ops.neighbors import (count_neighbors, required_shifts,
+                                           shift_table)
+    by_n = {}
+    for pc in packed:
+        nmx = int(required_shifts(pc.cell, cutoff).max())
+        by_n.setdefault(nmx, []).append(pc)
+    groups = []
+    for nmx, cfgs in sorted(by_n.items()):
+        kmax = max(count_neighbors(pc.pos, pc.cell, pc.natoms, cutoff)
+                   for pc in cfgs)
+        nvec = np.max([required_shifts(pc.cell, cutoff) for pc in cfgs], 0)
+        groups.append({
+            "configs": cfgs,
+            "a_pad": max(8, -(-max(pc.natoms for pc in cfgs) // 8) * 8),
+            "k_pad": max(8, -(-kmax // 8) * 8),
+            "s_table": tuple(map(tuple, shift_table(nvec))),
+        })
+    return groups
+
+
 def make_mesh(n_devices=None, devices=None):
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
@@ -145,7 +236,8 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
     return AtA, Atb, nrows
 
 
-def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None):
+def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
+                  neighbors=None):
     """Jitted sharded 'training step': batch of configs -> coefficients.
 
     Batch arrays have shape (nchunks, per_chunk, ...) with the per-chunk
@@ -153,16 +245,28 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None):
     (the full per-pair U tangents of all configs would not fit), the normal
     equations reduce over ICI via the sharding-induced psum, and the
     Cholesky solve is replicated.
+
+    With `neighbors={"cutoff", "k_pad", "s_table"}` the batch carries
+    positions instead of neighbor tensors (10 arrays, `pack_batch_pos`) and
+    neighbor lists are built on device (`device_neighbors`).
     """
     dp = NamedSharding(mesh, P(None, "dp"))
     repl = NamedSharding(mesh, P())
 
     def step(batch):
         accum = jnp.float64 if jax.config.jax_enable_x64 else None
-        contrib = jax.vmap(partial(config_normal_contrib,
-                                   params=params, numtypes=numtypes,
-                                   flags=flags, refspec=refspec,
-                                   accum_dtype=accum))
+        base = partial(config_normal_contrib, params=params,
+                       numtypes=numtypes, flags=flags, refspec=refspec,
+                       accum_dtype=accum)
+        if neighbors is None:
+            contrib = jax.vmap(base)
+        else:
+            def one(ph, pl, sh, sl, types, natoms, cell, *truths):
+                disp, jidx, mask = device_neighbors(
+                    ph, pl, sh, sl, natoms, neighbors["cutoff"],
+                    neighbors["k_pad"])
+                return base(disp, jidx, mask, types, natoms, cell, *truths)
+            contrib = jax.vmap(one)
 
         W = numtypes * params.plan.ncoeff
         if not params.plan.bzeroflag:
@@ -190,8 +294,8 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None):
             return (a_hi, a_lo), (b_hi, b_lo), nrows
         return (AtA.reshape(-1),), (Atb,), nrows
 
-    in_shardings = ((dp,) * 12,)
-    jitted = jax.jit(step, in_shardings=in_shardings,
+    nbatch = 12 if neighbors is None else 13
+    jitted = jax.jit(step, in_shardings=((dp,) * nbatch,),
                      out_shardings=(repl, repl, repl))
 
     def wrapped(batch):
@@ -278,7 +382,8 @@ def fit_refined(step_fn, residual_fn, batch, ridge=0.0, refine_iters=2):
     return x, solver, float(np.asarray(nrows))
 
 
-def build_eval_fn(params, numtypes, flags, mesh, refspec=None):
+def build_eval_fn(params, numtypes, flags, mesh, refspec=None,
+                  neighbors=None):
     """Jitted sharded evaluation: unweighted energy/force MAE of a fit.
 
     Returns (sum_abs_e_res, n_e, sum_abs_f_res, n_f) — MAE in the
@@ -331,8 +436,18 @@ def build_eval_fn(params, numtypes, flags, mesh, refspec=None):
         f_res = jnp.abs(f_rows @ coeff - forces.reshape(-1)) * frow_mask
         return e_res, live, f_res.sum(), frow_mask.sum()
 
+    if neighbors is None:
+        onev = one
+    else:
+        def onev(coeff, ph, pl, sh, sl, types, natoms, cell, *truths):
+            disp, jidx, mask = device_neighbors(
+                ph, pl, sh, sl, natoms, neighbors["cutoff"],
+                neighbors["k_pad"])
+            return one(coeff, disp, jidx, mask, types, natoms, cell,
+                       *truths)
+
     def evaluate(coeff, batch):
-        ev = jax.vmap(partial(one))
+        ev = jax.vmap(partial(onev))
         def body(carry, chunk):
             se, ne, sf, nf = carry
             e_res, live, f_sum, f_n = ev(jnp.broadcast_to(
@@ -343,8 +458,69 @@ def build_eval_fn(params, numtypes, flags, mesh, refspec=None):
         (se, ne, sf, nf), _ = jax.lax.scan(body, (z, z, z, z), batch)
         return se, ne, sf, nf
 
-    return jax.jit(evaluate, in_shardings=(repl, (dp,) * 12),
+    nbatch = 12 if neighbors is None else 13
+    return jax.jit(evaluate, in_shardings=(repl, (dp,) * nbatch),
                    out_shardings=(repl,) * 4)
+
+
+def pack_batch_pos(packed_configs, a_pad, n_pad, s_table, dtype=np.float32,
+                   chunks=1):
+    """Positions-based batch tuple for the on-device-neighbor step.
+
+    ~50x less host->device data than `pack_batch` (no disp/jidx/mask).
+    Positions and image-shift vectors ship as hi/lo float pairs so device
+    displacement assembly reaches f64-quality accuracy (see
+    `device_neighbors`).  Returns (pos_hi, pos_lo, svec_hi, svec_lo, types,
+    natoms, cell, energy, forces, stress6, ew, fw, vw).
+    """
+    n = n_pad
+    S = len(s_table)
+    shifts = np.asarray(s_table, np.float64)
+    pos_hi = np.zeros((n, a_pad, 3), dtype)
+    pos_lo = np.zeros((n, a_pad, 3), dtype)
+    svec_hi = np.zeros((n, S, 3), dtype)
+    svec_lo = np.zeros((n, S, 3), dtype)
+    types = np.zeros((n, a_pad), np.int32)
+    nat = np.zeros((n,), np.int32)
+    cell = np.eye(3, dtype=dtype)[None].repeat(n, 0)
+    energy = np.zeros((n,), dtype)
+    forces = np.zeros((n, a_pad, 3), dtype)
+    stress6 = np.zeros((n, 6), dtype)
+    ew = np.zeros((n,), dtype)
+    fw = np.zeros((n,), dtype)
+    vw = np.zeros((n,), dtype)
+
+    def split(x):
+        hi = np.asarray(x, dtype)
+        return hi, np.asarray(x - hi.astype(np.float64), dtype)
+
+    for j, pc in enumerate(packed_configs):
+        na = pc.natoms
+        pos_hi[j, :na], pos_lo[j, :na] = split(np.asarray(pc.pos, np.float64))
+        sv = shifts @ np.asarray(pc.cell, np.float64).T
+        svec_hi[j], svec_lo[j] = split(sv)
+        types[j, :na] = pc.types
+        nat[j] = na
+        cell[j] = pc.cell
+        d = pc.data
+        energy[j] = d.get("Energy", 0.0)
+        fo = d.get("Forces")
+        if fo is not None:
+            forces[j, :na] = fo
+        st = d.get("Stress")
+        if st is not None:
+            st = np.asarray(st)
+            stress6[j] = st[[0, 1, 2, 1, 0, 0], [0, 1, 2, 2, 2, 1]]
+        ew[j] = d.get("eweight", 1.0)
+        fw[j] = d.get("fweight", 1.0)
+        vw[j] = d.get("vweight", 1.0)
+    out = (pos_hi, pos_lo, svec_hi, svec_lo, types, nat, cell, energy,
+           forces, stress6, ew, fw, vw)
+    if chunks > 1:
+        assert n % chunks == 0
+        return tuple(x.reshape((chunks, n // chunks) + x.shape[1:])
+                     for x in out)
+    return tuple(x[None] for x in out)
 
 
 def pack_batch(packed_configs, a_pad, k_pad, n_pad, dtype=np.float32,
