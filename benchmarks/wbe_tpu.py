@@ -5,6 +5,11 @@ reference computes descriptors with one embedded LAMMPS instance per config;
 here the whole dataset streams through bucketed device steps accumulating
 the normal equations.
 
+One fixed-shape program per (a_pad, k_pad) bucket: each step call processes
+a constant-size macro-batch (padded tail), so the program count — and the
+per-program compile/warmup cost — is bounded by the bucket count, not the
+dataset size.
+
 Run: python benchmarks/wbe_tpu.py [max_configs]
 """
 
@@ -17,13 +22,10 @@ import numpy as np
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
 
     from fitsnap_tpu.fitsnap import FitSnap
     from fitsnap_tpu.parallel.fit import (NormalSolver, build_step_fn,
-                                          build_eval_fn, make_mesh,
-                                          pack_batch)
-    from fitsnap_tpu.calculators.snap import _pad_to, _A_BUCKETS, _K_BUCKETS
+                                          make_mesh, pack_batch)
     from fitsnap_tpu.utils.jaxsetup import setup_cache
 
     setup_cache()
@@ -37,8 +39,8 @@ def main():
                  arglist=["--overwrite"])
     fs.scrape_configs()
     data = fs.data[:limit] if limit else fs.data
-    print(f"scraped {len(data)} configs in {time.time()-t_all:.1f}s",
-          flush=True)
+    t_scrape = time.time() - t_all
+    print(f"scraped {len(data)} configs in {t_scrape:.1f}s", flush=True)
 
     calc = fs.calculator
     t0 = time.time()
@@ -57,21 +59,21 @@ def main():
     nrows_total = 0.0
     t_compute = 0.0
     for (a_pad, k_pad), idxs in sorted(buckets.items()):
-        csize = max(1, min(16, (1 << 27) // (a_pad * max(k_pad, 96) * 570 * 4 * 3)))
+        csize = max(1, min(16,
+                           (1 << 27) // (a_pad * max(k_pad, 96) * 570 * 12)))
         per = mesh.devices.size * csize
-        chunks = -(-len(idxs) // per)
-        batch = pack_batch([packed[i] for i in idxs], a_pad, k_pad,
-                           chunks * per, dtype, chunks=chunks)
         t0 = time.time()
-        AtA, Atb, nrows = step(batch)
-        jax.block_until_ready(nrows)
+        for lo in range(0, len(idxs), per):
+            sel = [packed[i] for i in idxs[lo:lo + per]]
+            batch = pack_batch(sel, a_pad, k_pad, per, dtype, chunks=1)
+            AtA, Atb, nrows = step(batch)
+            nrows_total += float(np.asarray(nrows))
+            AtA_sum = AtA if AtA_sum is None else AtA_sum + AtA
+            Atb_sum = Atb if Atb_sum is None else Atb_sum + Atb
         dt = time.time() - t0
         t_compute += dt
-        nrows_total += float(np.asarray(nrows))
-        AtA_sum = AtA if AtA_sum is None else AtA_sum + AtA
-        Atb_sum = Atb if Atb_sum is None else Atb_sum + Atb
-        print(f"  bucket ({a_pad},{k_pad}) x{len(idxs)}: {dt:.2f}s",
-              flush=True)
+        print(f"  bucket ({a_pad},{k_pad}) x{len(idxs)} csize={csize}: "
+              f"{dt:.2f}s", flush=True)
 
     t0 = time.time()
     solver = NormalSolver(AtA_sum)
@@ -79,7 +81,7 @@ def main():
     t_solve = time.time() - t0
     assert np.isfinite(coeff).all()
     total = time.time() - t_all
-    print(f"rows {nrows_total:.0f}  device compute {t_compute:.1f}s "
+    print(f"rows {nrows_total:.0f}  device compute+transfer {t_compute:.1f}s "
           f"({nrows_total/max(t_compute,1e-9):.0f} rows/s incl. compiles)",
           flush=True)
     print(f"solve {t_solve:.2f}s  TOTAL end-to-end {total:.1f}s", flush=True)
