@@ -51,30 +51,64 @@ def main():
 
     mesh = make_mesh()
     flags = {"energy": True, "force": True, "stress": True}
-    step = build_step_fn(calc.params, calc.numtypes, flags, mesh,
-                         refspec=calc.refspec)
 
-    AtA_sum = None
-    Atb_sum = None
-    nrows_total = 0.0
+    # device-resident f64 accumulator: nothing downloads until the end
+    # (device->host is ~1 MB/s through the remote relay; AtA is 2.6 MB)
+    acc_step, acc_init, acc_finish = build_step_fn(
+        calc.params, calc.numtypes, flags, mesh, refspec=calc.refspec,
+        accumulate=True)
+    acc = acc_init()
+
+    # Coalesce shape buckets: each distinct (a_pad, k_pad) is one XLA
+    # program (~20s compile through the remote service), so merge
+    # low-pair-work buckets into any covering shape until the padding
+    # overhead stops paying for the saved compiles.
+    def coalesce(buckets, max_programs=10):
+        merged = dict(buckets)
+        while len(merged) > max_programs:
+            keys = sorted(merged, key=lambda k: k[0] * k[1] * len(merged[k]))
+            moved = False
+            for small in keys:
+                covers = [k for k in merged if k != small
+                          and k[0] >= small[0] and k[1] >= small[1]]
+                if covers:
+                    dst = min(covers, key=lambda k: k[0] * k[1])
+                    merged[dst] = merged[dst] + merged[small]
+                    del merged[small]
+                    moved = True
+                    break
+            if not moved:
+                break
+        return merged
+
+    buckets = coalesce(buckets)
+    print(f"coalesced to {len(buckets)} programs: "
+          f"{[(k, len(v)) for k, v in sorted(buckets.items())]}", flush=True)
+
+    import jax as _jax
     t_compute = 0.0
     for (a_pad, k_pad), idxs in sorted(buckets.items()):
         csize = max(1, min(16,
                            (1 << 27) // (a_pad * max(k_pad, 96) * 570 * 12)))
         per = mesh.devices.size * csize
+        # macro-batch: a fixed scan depth per call bounds per-call overhead
+        # (relay latency + dispatch); the tail pads with empty chunks
+        C = max(1, min(8, -(-len(idxs) // per)))
+        macro = C * per
         t0 = time.time()
-        for lo in range(0, len(idxs), per):
-            sel = [packed[i] for i in idxs[lo:lo + per]]
-            batch = pack_batch(sel, a_pad, k_pad, per, dtype, chunks=1)
-            AtA, Atb, nrows = step(batch)
-            nrows_total += float(np.asarray(nrows))
-            AtA_sum = AtA if AtA_sum is None else AtA_sum + AtA
-            Atb_sum = Atb if Atb_sum is None else Atb_sum + Atb
+        for lo in range(0, len(idxs), macro):
+            sel = [packed[i] for i in idxs[lo:lo + macro]]
+            batch = pack_batch(sel, a_pad, k_pad, macro, dtype, chunks=C)
+            acc = acc_step(acc, batch)
+        _jax.block_until_ready(acc)
         dt = time.time() - t0
         t_compute += dt
-        print(f"  bucket ({a_pad},{k_pad}) x{len(idxs)} csize={csize}: "
-              f"{dt:.2f}s", flush=True)
+        print(f"  bucket ({a_pad},{k_pad}) x{len(idxs)} csize={csize} "
+              f"C={C}: {dt:.2f}s", flush=True)
 
+    t0 = time.time()
+    AtA_sum, Atb_sum, nrows_total = acc_finish(acc)
+    t_down = time.time() - t0
     t0 = time.time()
     solver = NormalSolver(AtA_sum)
     coeff = solver.solve(Atb_sum)
@@ -84,7 +118,24 @@ def main():
     print(f"rows {nrows_total:.0f}  device compute+transfer {t_compute:.1f}s "
           f"({nrows_total/max(t_compute,1e-9):.0f} rows/s incl. compiles)",
           flush=True)
-    print(f"solve {t_solve:.2f}s  TOTAL end-to-end {total:.1f}s", flush=True)
+    print(f"download {t_down:.2f}s  solve {t_solve:.2f}s  "
+          f"TOTAL end-to-end {total:.1f}s", flush=True)
+
+    std_path = ("/root/reference/examples/WBe_PRB2019/20May21_Standard/"
+                "WBe_pot.snapcoeff")
+    vals = []
+    with open(std_path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln and not ln.startswith("#") and "#" in ln:
+                vals.append(float(ln.split()[0]))
+    std = np.array(vals)
+    if std.size == coeff.size + 2:
+        # bzeroflag=1: the standard carries a zero offset row per type
+        std = std.reshape(2, -1)[:, 1:].reshape(-1)
+    if std.shape == coeff.shape:
+        print(f"max|coeff - 20May21_Standard| = "
+              f"{np.abs(coeff - std).max():.3e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -237,7 +237,7 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
 
 
 def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
-                  neighbors=None):
+                  neighbors=None, accumulate=False):
     """Jitted sharded 'training step': batch of configs -> coefficients.
 
     Batch arrays have shape (nchunks, per_chunk, ...) with the per-chunk
@@ -246,9 +246,15 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
     equations reduce over ICI via the sharding-induced psum, and the
     Cholesky solve is replicated.
 
-    With `neighbors={"cutoff", "k_pad", "s_table"}` the batch carries
-    positions instead of neighbor tensors (10 arrays, `pack_batch_pos`) and
-    neighbor lists are built on device (`device_neighbors`).
+    With `neighbors={"cutoff", "k_pad"}` the batch carries positions
+    instead of neighbor tensors (13 arrays, `pack_batch_pos`) and neighbor
+    lists are built on device (`device_neighbors`).
+
+    With `accumulate=True`, returns (acc_step, init, finish):
+    `acc = acc_step(acc, batch)` adds the batch's normal-equation
+    contribution into a DEVICE-resident accumulator — streaming a large
+    dataset through many calls downloads nothing until `finish(acc)`
+    (device->host is the slow direction through the remote relay).
     """
     dp = NamedSharding(mesh, P(None, "dp"))
     repl = NamedSharding(mesh, P())
@@ -295,6 +301,38 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
         return (AtA.reshape(-1),), (Atb,), nrows
 
     nbatch = 12 if neighbors is None else 13
+
+    if accumulate:
+        def step_acc(acc, batch):
+            a_parts, b_parts, nrows = step(batch)
+            return (acc[0] + sum(x.astype(acc[0].dtype) for x in a_parts),
+                    acc[1] + sum(x.astype(acc[1].dtype) for x in b_parts),
+                    acc[2] + nrows)
+
+        jitted_acc = jax.jit(step_acc,
+                             in_shardings=((repl,) * 3, (dp,) * nbatch),
+                             out_shardings=(repl,) * 3,
+                             donate_argnums=(0,))
+
+        def init_fn():
+            W = numtypes * params.plan.ncoeff
+            if not params.plan.bzeroflag:
+                W += numtypes
+            return (jnp.zeros((W * W,), jnp.float64),
+                    jnp.zeros((W,), jnp.float64), jnp.zeros(()))
+
+        def finish(acc):
+            split = jax.jit(lambda a: tuple(
+                (x.astype(jnp.float32),
+                 (x - x.astype(jnp.float32).astype(jnp.float64))
+                 .astype(jnp.float32)) for x in a[:2]) + (a[2],))
+            (a_hi, a_lo), (b_hi, b_lo), nrows = split(acc)
+            AtA = (np.asarray(a_hi, np.float64) + np.asarray(a_lo))
+            Atb = (np.asarray(b_hi, np.float64) + np.asarray(b_lo))
+            return AtA, Atb, float(np.asarray(nrows))
+
+        return jitted_acc, init_fn, finish
+
     jitted = jax.jit(step, in_shardings=((dp,) * nbatch,),
                      out_shardings=(repl, repl, repl))
 
