@@ -19,7 +19,9 @@ not expected yet (tracked for a later round).
 """
 
 import itertools
+import os
 from dataclasses import dataclass, field
+from functools import lru_cache
 from math import sqrt
 
 import jax
@@ -189,6 +191,11 @@ class AcePlan:
     # (Y00 = 1).  'v0'/'std' are this framework's original conventions.
     radial: str = "pace_px"     # ChebExpCos convention variant
     ylm: str = "4pi"            # '4pi' | 'std' | 'racah'
+    # ML-PACE evaluates radials from cubic Hermite spline lookup tables
+    # (deltaSplineBins in the .yace, default 0.001), not the analytic
+    # functions; setting this emulates that (including its O(delta^4)
+    # interpolation error) for beta-level parity with LAMMPS-made fits.
+    spline_delta: float = None
 
     @property
     def ncoeff(self):
@@ -273,6 +280,9 @@ def _pack_plan(labels, terms_per_label, numtypes, nradbase, lmax,
         t_mu0=np.asarray([lab[0] for lab in labels], np.int32),
         rank_max=rank_max,
         mmat=mmat,
+        spline_delta=(float(os.environ["FITSNAP_TPU_ACE_SPLINE"])
+                      if os.environ.get("FITSNAP_TPU_ACE_SPLINE")
+                      else None),
     )
 
 
@@ -429,6 +439,65 @@ def chebexpcos_basis(r, rcut, lmbda, nradbase, variant="v0"):
     return jnp.where(r[..., None] < rcut[..., None], g, 0.0)
 
 
+@lru_cache(maxsize=None)
+def _hermite_radial_table(rcut, lmbda, nradbase, variant, delta):
+    """Cubic-Hermite spline coefficients of the radial basis (host-side).
+
+    Emulates ML-PACE's SplineInterpolator: node values and analytic
+    derivatives at spacing `delta`, evaluated per bin as a cubic in
+    t = r/delta - n.  Returns (nlut, nradbase, 4) float64 [c0, c1, c2, c3].
+    """
+    import jax
+
+    nlut = int(np.ceil(rcut / delta)) + 1
+    rs = np.arange(nlut + 1) * delta
+
+    def f(rr):
+        return chebexpcos_basis(jnp.asarray(rr, jnp.float64),
+                                rcut, lmbda, nradbase, variant)
+
+    with jax.ensure_compile_time_eval():
+        vals = np.asarray(f(rs))
+        dvals = np.asarray(jax.vmap(
+            lambda rr: jax.jvp(f, (rr,), (jnp.ones((), jnp.float64),))[1])(
+                jnp.asarray(rs, jnp.float64)))
+    f0, f1 = vals[:-1], vals[1:]
+    d0, d1 = dvals[:-1] * delta, dvals[1:] * delta
+    c0 = f0
+    c1 = d0
+    c2 = -3.0 * f0 - 2.0 * d0 + 3.0 * f1 - d1
+    c3 = 2.0 * f0 + d0 - 2.0 * f1 + d1
+    return np.stack([c0, c1, c2, c3], axis=-1)
+
+
+def spline_radial_basis(r, rcuts, lmbdas, bond_idx, nradbase, variant,
+                        delta):
+    """Spline-table evaluation of g_k(r) with per-bond tables.
+
+    r, bond_idx: (A, K); rcuts/lmbdas: flat per-bond float lists (host).
+    """
+    dtype = r.dtype
+    tables = []
+    nlut_max = 0
+    for rc, lam in zip(rcuts, lmbdas):
+        t = _hermite_radial_table(float(rc), float(lam), nradbase, variant,
+                                  float(delta))
+        nlut_max = max(nlut_max, t.shape[0])
+        tables.append(t)
+    T = np.zeros((len(tables), nlut_max) + tables[0].shape[1:])
+    for i, t in enumerate(tables):
+        T[i, :t.shape[0]] = t
+    Tj = jnp.asarray(T, dtype)
+    x = r / delta
+    n = jnp.clip(jnp.floor(x), 0, nlut_max - 1)
+    t = x - n
+    c = Tj[bond_idx, n.astype(jnp.int32)]          # (A, K, nradbase, 4)
+    tt = t[..., None]
+    g = ((c[..., 3] * tt + c[..., 2]) * tt + c[..., 1]) * tt + c[..., 0]
+    rcm = jnp.asarray(np.asarray(rcuts), dtype)[bond_idx]
+    return jnp.where(r[..., None] < rcm[..., None], g, 0.0)
+
+
 def _alp_coeffs(lmax):
     """Associated-Legendre recursion coefficients (host)."""
     import math
@@ -521,7 +590,16 @@ def ace_pair_phi(disp, jelem, mask, ielem, plan: AcePlan):
     unit = safe / r[..., None]
     rcm = jnp.asarray(plan.rcut, dtype)[ielem[:, None], jelem]     # (A, K)
     lamm = jnp.asarray(plan.lmbda, dtype)[ielem[:, None], jelem]
-    g = chebexpcos_basis(r, rcm, lamm, plan.nradbase, plan.radial)
+    if plan.spline_delta:
+        nt = plan.numtypes
+        bond_idx = ielem[:, None] * nt + jelem                     # (A, K)
+        rcuts = np.asarray(plan.rcut, float).reshape(-1)
+        lams = np.asarray(plan.lmbda, float).reshape(-1)
+        g = spline_radial_basis(r, tuple(rcuts), tuple(lams), bond_idx,
+                                plan.nradbase, plan.radial,
+                                plan.spline_delta)
+    else:
+        g = chebexpcos_basis(r, rcm, lamm, plan.nradbase, plan.radial)
     rin = jnp.asarray(plan.rcinner, dtype)[ielem[:, None], jelem]
     if np.any(np.asarray(plan.rcinner) > 0.0):
         # ML-PACE distance-type inner cutoff: functions ramp to zero
