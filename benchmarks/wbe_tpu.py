@@ -29,7 +29,8 @@ def main():
     from fitsnap_tpu.utils.jaxsetup import setup_cache
 
     setup_cache()
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    limit = int(args[0]) if args else None
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
     print(f"backend={jax.default_backend()} dtype={dtype.__name__}",
           flush=True)
@@ -114,6 +115,33 @@ def main():
     coeff = solver.solve(Atb_sum)
     t_solve = time.time() - t0
     assert np.isfinite(coeff).all()
+
+    # mixed-precision iterative refinement: residuals b - Ax are small, so
+    # f32 rows carry full relative accuracy where the directly-formed
+    # normal equations cannot (recovers the f64-quality fit)
+    if "--refine" in sys.argv:
+        import jax.numpy as jnp
+        from fitsnap_tpu.parallel.fit import build_residual_fn
+        residual = build_residual_fn(calc.params, calc.numtypes, flags,
+                                     mesh, refspec=calc.refspec)
+        t0 = time.time()
+        for _ in range(2):
+            Atr = np.zeros_like(Atb_sum)
+            for (a_pad, k_pad), idxs in sorted(buckets.items()):
+                csize = max(1, min(16, (1 << 27)
+                                   // (a_pad * max(k_pad, 96) * 570 * 12)))
+                per = mesh.devices.size * csize
+                C = max(1, min(8, -(-len(idxs) // per)))
+                macro = C * per
+                for lo in range(0, len(idxs), macro):
+                    sel = [packed[i] for i in idxs[lo:lo + macro]]
+                    batch = pack_batch(sel, a_pad, k_pad, macro, dtype,
+                                       chunks=C)
+                    Atr += np.asarray(
+                        residual(jnp.asarray(coeff, dtype), batch),
+                        np.float64)
+            coeff = coeff + solver.solve(Atr)
+        print(f"refine (2 passes): {time.time()-t0:.1f}s", flush=True)
     total = time.time() - t_all
     print(f"rows {nrows_total:.0f}  device compute+transfer {t_compute:.1f}s "
           f"({nrows_total/max(t_compute,1e-9):.0f} rows/s incl. compiles)",
@@ -136,6 +164,33 @@ def main():
     if std.shape == coeff.shape:
         print(f"max|coeff - 20May21_Standard| = "
               f"{np.abs(coeff - std).max():.3e}", flush=True)
+
+    if "--mae" in sys.argv:
+        import jax
+        import jax.numpy as jnp
+        from fitsnap_tpu.parallel.fit import build_eval_fn
+        evaluate = build_eval_fn(calc.params, calc.numtypes, flags, mesh,
+                                 refspec=calc.refspec)
+        t0 = time.time()
+        se = ne = sf = nf = 0.0
+        for (a_pad, k_pad), idxs in sorted(buckets.items()):
+            csize = max(1, min(16, (1 << 27)
+                               // (a_pad * max(k_pad, 96) * 570 * 12)))
+            per = mesh.devices.size * csize
+            C = max(1, min(8, -(-len(idxs) // per)))
+            macro = C * per
+            for lo in range(0, len(idxs), macro):
+                sel = [packed[i] for i in idxs[lo:lo + macro]]
+                batch = pack_batch(sel, a_pad, k_pad, macro, dtype, chunks=C)
+                o = evaluate(jnp.asarray(coeff, dtype), batch)
+                se += float(np.asarray(o[0]))
+                ne += float(np.asarray(o[1]))
+                sf += float(np.asarray(o[2]))
+                nf += float(np.asarray(o[3]))
+        # unweighted training MAEs in the reference's convention; compare
+        # with the committed WBe_metrics.md "*Unweighted" rows
+        print(f"energy MAE {se/ne:.6f}  force MAE {sf/nf:.6f}  "
+              f"(eval {time.time()-t0:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -85,3 +85,40 @@ def test_fd_harness(tmp_path, monkeypatch):
         "Displaced_BCC", config_index=0, max_atoms=2)
     assert mean_err < 1e-5
     assert max_err < 1e-4
+
+
+def test_vasp2json_roundtrip(tmp_path):
+    """OUTCAR -> FitSNAP JSON; output parses under the scraper convention."""
+    import glob
+    import json
+
+    from fitsnap_tpu.tools.vasp2json import outcar_to_json
+
+    outs = sorted(glob.glob(
+        "/root/reference/examples/InP_VASP/VASP/Defects_aP/*/OUTCAR"))
+    if not outs:
+        import pytest
+        pytest.skip("reference OUTCARs not available")
+    docs = outcar_to_json(outs[0], str(tmp_path / "cfg_"))
+    assert len(docs) >= 1
+    fn = sorted(tmp_path.glob("cfg_*.json"))[0]
+    with open(fn) as f:
+        if f.readline().lstrip().startswith("{"):
+            f.seek(0)
+        d = json.load(f)
+    dd = d["Dataset"]["Data"][0]
+    assert {"Positions", "Forces", "Lattice", "Energy",
+            "AtomTypes", "NumAtoms"} <= set(dd)
+    assert len(dd["Positions"]) == dd["NumAtoms"]
+
+
+def test_config_convert_roundtrip(tmp_path):
+    from fitsnap_tpu.tools.config_convert import (input_to_settings_dict,
+                                                  settings_dict_to_input)
+
+    src = "/root/reference/examples/Ta_Linear_JCP2014/Ta-example.in"
+    s = input_to_settings_dict(src)
+    out = tmp_path / "rt.in"
+    settings_dict_to_input(s, str(out))
+    assert input_to_settings_dict(str(out)) == s
+    assert "BISPECTRUM" in s and "twojmax" in s["BISPECTRUM"]
