@@ -26,9 +26,10 @@ def main():
     from fitsnap_tpu.fitsnap import FitSnap
     from fitsnap_tpu.parallel.fit import (NormalSolver, build_step_fn,
                                           make_mesh, pack_batch)
-    from fitsnap_tpu.utils.jaxsetup import setup_cache
+    from fitsnap_tpu.utils.jaxsetup import setup_cache, warm_transfers
 
     setup_cache()
+    warm_transfers()
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     limit = int(args[0]) if args else None
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64

@@ -325,10 +325,16 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
             split = jax.jit(lambda a: tuple(
                 (x.astype(jnp.float32),
                  (x - x.astype(jnp.float32).astype(jnp.float64))
-                 .astype(jnp.float32)) for x in a[:2]) + (a[2],))
+                 .astype(jnp.float32)) for x in a[:2]) + (a[2].astype(
+                     jnp.float32),))
             (a_hi, a_lo), (b_hi, b_lo), nrows = split(acc)
-            AtA = (np.asarray(a_hi, np.float64) + np.asarray(a_lo))
-            Atb = (np.asarray(b_hi, np.float64) + np.asarray(b_lo))
+            # download as f32 and recombine on host: requesting f64 from a
+            # device array converts on device and takes the pathologically
+            # slow per-element f64 transfer path through the relay
+            AtA = (np.asarray(a_hi).astype(np.float64)
+                   + np.asarray(a_lo).astype(np.float64))
+            Atb = (np.asarray(b_hi).astype(np.float64)
+                   + np.asarray(b_lo).astype(np.float64))
             return AtA, Atb, float(np.asarray(nrows))
 
         return jitted_acc, init_fn, finish

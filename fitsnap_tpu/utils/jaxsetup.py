@@ -23,6 +23,37 @@ def setup_precision():
     """
     if os.environ.get("FITSNAP_TPU_NO_X64") != "1":
         jax.config.update("jax_enable_x64", True)
+    # TPU matmuls on f32 operands default to bf16-based passes; that was
+    # the entire WBe accuracy gap (coeff diff vs the f64 golden: 0.28 ->
+    # 1.05e-5 with full-f32 passes). Correctness first; override with
+    # JAX_DEFAULT_MATMUL_PRECISION to trade it back.
+    if not os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def warm_transfers():
+    """Start the remote relay's transfer warmup in the background.
+
+    The first device->host transfer of a process pays a one-time ~minutes
+    initialization through the remote-TPU relay (measured: 48 KB in 480 s,
+    everything after in milliseconds). Kick a tiny round trip on a daemon
+    thread so the cost overlaps host-side scraping and compiles instead of
+    landing on the first real result fetch.
+    """
+    import threading
+
+    def _warm():
+        try:
+            import jax as _jax
+            import numpy as _np
+            d = _jax.device_put(_np.ones((8,), _np.float32))   # upload path
+            _np.asarray(d + 1.0)                               # download path
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_warm, daemon=True)
+    t.start()
+    return t
 
 
 def setup_cache():
