@@ -12,6 +12,7 @@ loss, Adam.  Batches are drawn per bucket; each bucket shape compiles once.
 """
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -437,14 +438,6 @@ class NetworkSolver(Solver):
         opt_state = opt.init(self.params)
         loss_fn = self._loss
 
-        @jax.jit
-        def train_step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-            updates, opt_state = opt.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        eval_loss = jax.jit(loss_fn)
-
         # per-bucket train/val indices
         rng = np.random.default_rng(13)
         bs = net.batch_size
@@ -459,42 +452,94 @@ class NetworkSolver(Solver):
             train_sets.append(tr)
             val_sets.append(va)
 
-        best_val = np.inf
-        best_params = self.params
-        self.history = []
-        for epoch in range(net.num_epochs):
-            tl, nsteps = 0.0, 0
-            # round-robin over buckets, fixed batch shape per bucket
-            batches = []
-            for bi, (ds, tr) in enumerate(zip(self.buckets, train_sets)):
-                if len(tr) == 0:
-                    continue
-                order = rng.permutation(tr) if net.shuffle_flag else tr
-                bsz = min(bs, len(tr))
-                for i in range(0, len(order) - bsz + 1, bsz):
-                    batches.append((bi, order[i:i + bsz]))
-            rng.shuffle(batches)
-            for bi, idx in batches:
-                batch = self._gather(self.buckets[bi], jnp.asarray(idx))
-                self.params, opt_state, loss = train_step(
-                    self.params, opt_state, batch)
-                tl += float(loss)
-                nsteps += 1
-            tl /= max(nsteps, 1)
-            vl, nv = 0.0, 0
-            for bi, (ds, va) in enumerate(zip(self.buckets, val_sets)):
-                if len(va) == 0:
-                    continue
-                bsz = min(bs, len(va))
-                for i in range(0, len(va) - bsz + 1, bsz):
-                    batch = self._gather(ds, jnp.asarray(va[i:i + bsz]))
-                    vl += float(eval_loss(self.params, batch))
-                    nv += 1
-            vl = vl / nv if nv else tl
-            self.history.append((epoch, tl, vl))
-            if vl <= best_val:
-                best_val = vl
-                best_params = self.params
+        # The ENTIRE training runs as one jitted scan over epochs (inner
+        # scans over minibatches), with all epochs' shuffled index arrays
+        # precomputed on host.  One device call instead of
+        # epochs x minibatches dispatches — through a remote TPU each
+        # dispatch costs ~30 ms of latency, which dominated training.
+        # Batches run bucket-sequential within an epoch (the per-minibatch
+        # loop shuffled across buckets; Adam sees the same minibatches in a
+        # slightly different order).
+        E = net.num_epochs
+        train_perms, tkeys = [], []
+        for bi, tr in enumerate(train_sets):
+            if len(tr) == 0:
+                continue
+            bsz = min(bs, len(tr))
+            nst = (len(tr) - bsz) // bsz + 1
+            perms = np.stack([
+                (rng.permutation(tr) if net.shuffle_flag else np.asarray(tr))
+                [:nst * bsz].reshape(nst, bsz) for _ in range(E)])
+            train_perms.append(jnp.asarray(perms, jnp.int32))
+            tkeys.append(bi)
+        val_plans, vkeys = [], []
+        for bi, va in enumerate(val_sets):
+            if len(va) == 0:
+                continue
+            bsz = min(bs, len(va))
+            nst = (len(va) - bsz) // bsz + 1
+            val_plans.append(jnp.asarray(
+                np.asarray(va)[:nst * bsz].reshape(nst, bsz), jnp.int32))
+            vkeys.append(bi)
+
+        batch_keys = (self._BATCH_KEYS_PAS if self.pas
+                      else self._BATCH_KEYS_PW if self.pairwise
+                      else self._BATCH_KEYS)
+        # device-resident dataset passed as explicit jit args (closures
+        # would bake the whole dataset into the executable as constants)
+        dev_buckets = tuple({k: jnp.asarray(ds[k]) for k in batch_keys}
+                            for ds in self.buckets)
+
+        def epoch_body(bufs, carry, xs):
+            params, opt_state, best_val, best_params = carry
+            tl_sum = jnp.zeros(())
+            tn = 0
+            for slot, bi in enumerate(tkeys):
+                perms_e = xs[slot]                     # (nsteps, bsz)
+
+                def step(c, idx, _bi=bi):
+                    p, s = c
+                    batch = {k: v[idx] for k, v in bufs[_bi].items()}
+                    loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+                    updates, s = opt.update(grads, s)
+                    return (optax.apply_updates(p, updates), s), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    step, (params, opt_state), perms_e)
+                tl_sum = tl_sum + losses.sum()
+                tn += int(losses.shape[0])
+            tl = tl_sum / max(tn, 1)
+            if vkeys:
+                vl_sum = jnp.zeros(())
+                vn = 0
+                for slot, bi in enumerate(vkeys):
+                    def vstep(_, idx, _bi=bi):
+                        batch = {k: v[idx] for k, v in bufs[_bi].items()}
+                        return None, loss_fn(params, batch)
+                    _, vls = jax.lax.scan(vstep, None, val_plans[slot])
+                    vl_sum = vl_sum + vls.sum()
+                    vn += int(vls.shape[0])
+                vl = vl_sum / max(vn, 1)
+            else:
+                vl = tl
+            better = vl <= best_val
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(better, p, b), best_params, params)
+            best_val = jnp.minimum(best_val, vl)
+            return (params, opt_state, best_val, best_params), (tl, vl)
+
+        @jax.jit
+        def train_all(params, opt_state, perms, bufs):
+            init = (params, opt_state, jnp.asarray(np.inf), params)
+            (params, opt_state, best_val, best_params), hist = jax.lax.scan(
+                partial(epoch_body, bufs), init, perms)
+            return params, best_params, hist
+
+        perms_stacked = tuple(train_perms)
+        _, best_params, hist = train_all(self.params, opt_state,
+                                         perms_stacked, dev_buckets)
+        tls, vls = [np.asarray(x) for x in hist]
+        self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
         self.params = best_params
         self.fit = None  # nonlinear: no coefficient vector
 
