@@ -88,25 +88,33 @@ def main():
           f"{[(k, len(v)) for k, v in sorted(buckets.items())]}", flush=True)
 
     import jax as _jax
+
+    def bucket_batches(buckets):
+        """One packed whole-bucket batch per shape (chunked for the scan)."""
+        for (a_pad, k_pad), idxs in sorted(buckets.items()):
+            csize = max(1, min(16, (1 << 27)
+                               // (a_pad * max(k_pad, 96) * 570 * 12)))
+            per = mesh.devices.size * csize
+            C = -(-len(idxs) // per)
+            sel = [packed[i] for i in idxs]
+            yield ((a_pad, k_pad), idxs, csize,
+                   pack_batch(sel, a_pad, k_pad, C * per, dtype, chunks=C))
+
+    # pack + upload each bucket once; the whole bucket runs as ONE device
+    # call (scan over chunks) on resident data — per-call host packing and
+    # relay latency drop out of the streaming loop entirely
     t_compute = 0.0
-    for (a_pad, k_pad), idxs in sorted(buckets.items()):
-        csize = max(1, min(16,
-                           (1 << 27) // (a_pad * max(k_pad, 96) * 570 * 12)))
-        per = mesh.devices.size * csize
-        # macro-batch: a fixed scan depth per call bounds per-call overhead
-        # (relay latency + dispatch); the tail pads with empty chunks
-        C = max(1, min(8, -(-len(idxs) // per)))
-        macro = C * per
+    resident = []
+    for key, idxs, csize, batch in bucket_batches(buckets):
         t0 = time.time()
-        for lo in range(0, len(idxs), macro):
-            sel = [packed[i] for i in idxs[lo:lo + macro]]
-            batch = pack_batch(sel, a_pad, k_pad, macro, dtype, chunks=C)
-            acc = acc_step(acc, batch)
+        batch = _jax.device_put(batch)
+        acc = acc_step(acc, batch)
         _jax.block_until_ready(acc)
+        resident.append(batch)
         dt = time.time() - t0
         t_compute += dt
-        print(f"  bucket ({a_pad},{k_pad}) x{len(idxs)} csize={csize} "
-              f"C={C}: {dt:.2f}s", flush=True)
+        print(f"  bucket {key} x{len(idxs)} csize={csize}: {dt:.2f}s",
+              flush=True)
 
     t0 = time.time()
     AtA_sum, Atb_sum, nrows_total = acc_finish(acc)
@@ -128,19 +136,9 @@ def main():
         t0 = time.time()
         for _ in range(2):
             Atr = np.zeros_like(Atb_sum)
-            for (a_pad, k_pad), idxs in sorted(buckets.items()):
-                csize = max(1, min(16, (1 << 27)
-                                   // (a_pad * max(k_pad, 96) * 570 * 12)))
-                per = mesh.devices.size * csize
-                C = max(1, min(8, -(-len(idxs) // per)))
-                macro = C * per
-                for lo in range(0, len(idxs), macro):
-                    sel = [packed[i] for i in idxs[lo:lo + macro]]
-                    batch = pack_batch(sel, a_pad, k_pad, macro, dtype,
-                                       chunks=C)
-                    Atr += np.asarray(
-                        residual(jnp.asarray(coeff, dtype), batch),
-                        np.float64)
+            for batch in resident:
+                Atr += np.asarray(
+                    residual(jnp.asarray(coeff, dtype), batch), np.float64)
             coeff = coeff + solver.solve(Atr)
         print(f"refine (2 passes): {time.time()-t0:.1f}s", flush=True)
     total = time.time() - t_all
@@ -174,20 +172,12 @@ def main():
                                  refspec=calc.refspec)
         t0 = time.time()
         se = ne = sf = nf = 0.0
-        for (a_pad, k_pad), idxs in sorted(buckets.items()):
-            csize = max(1, min(16, (1 << 27)
-                               // (a_pad * max(k_pad, 96) * 570 * 12)))
-            per = mesh.devices.size * csize
-            C = max(1, min(8, -(-len(idxs) // per)))
-            macro = C * per
-            for lo in range(0, len(idxs), macro):
-                sel = [packed[i] for i in idxs[lo:lo + macro]]
-                batch = pack_batch(sel, a_pad, k_pad, macro, dtype, chunks=C)
-                o = evaluate(jnp.asarray(coeff, dtype), batch)
-                se += float(np.asarray(o[0]))
-                ne += float(np.asarray(o[1]))
-                sf += float(np.asarray(o[2]))
-                nf += float(np.asarray(o[3]))
+        for batch in resident:
+            o = evaluate(jnp.asarray(coeff, dtype), batch)
+            se += float(np.asarray(o[0]))
+            ne += float(np.asarray(o[1]))
+            sf += float(np.asarray(o[2]))
+            nf += float(np.asarray(o[3]))
         # unweighted training MAEs in the reference's convention; compare
         # with the committed WBe_metrics.md "*Unweighted" rows
         print(f"energy MAE {se/ne:.6f}  force MAE {sf/nf:.6f}  "
