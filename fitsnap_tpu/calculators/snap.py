@@ -66,15 +66,47 @@ class SnapCalculator:
         self.name = name
         sec = config.sections["BISPECTRUM"]
         self.sec = sec
+        self.type_mapping = sec.type_mapping
+        setup_cache()
+        self._fingerprint = None
+        self._maybe_refresh()
+
+    def _hyperparam_fingerprint(self):
+        sec = self.sec
+
+        def t(x):
+            return tuple(np.ravel(np.asarray(x, float))) \
+                if x is not None else None
+
+        return (tuple(int(v) for v in np.atleast_1d(sec.twojmax)),
+                sec.numtypes, t(sec.wj), t(sec.radelem), float(sec.rcutfac),
+                float(sec.rfac0), float(sec.rmin0), bool(sec.chemflag),
+                bool(sec.bnormflag), bool(sec.bzeroflag),
+                bool(sec.wselfallflag), bool(sec.quadraticflag),
+                bool(sec.switchflag), bool(sec.switchinnerflag),
+                getattr(sec, "sinner", None), getattr(sec, "dinner", None))
+
+    def _maybe_refresh(self):
+        """Rebuild the kernel plan when section hyperparameters changed.
+
+        Library-mode hyperparameter loops mutate `config.sections
+        ['BISPECTRUM']` between fits (reference
+        `examples/library/loop_over_fits/example1.py`); the reference
+        rebuilds its LAMMPS compute per config, so edits take effect on the
+        next `process_configs` — mirrored here by fingerprinting."""
+        fp = self._hyperparam_fingerprint()
+        if fp == self._fingerprint:
+            return
+        self._fingerprint = fp
+        sec = self.sec
         self.params = make_params(sec)
         self.numtypes = sec.numtypes
         radelem = np.array([float(x) for x in sec.radelem])
         self.snap_cutoff = float(2.0 * radelem.max() * sec.rcutfac)
-        self.refspec = parse_reference(config.sections["REFERENCE"], sec.numtypes)
+        self.refspec = parse_reference(self.config.sections["REFERENCE"],
+                                       sec.numtypes)
         self.cutoff = max(self.snap_cutoff, self.refspec.max_cutoff)
-        self.type_mapping = sec.type_mapping
         self._jit_cache = {}
-        setup_cache()
 
     def get_width(self):
         sec = self.sec
@@ -158,6 +190,7 @@ class SnapCalculator:
 
     def host_preprocess(self, data: list):
         """Pack configs and build host-side neighbor lists + shape buckets."""
+        self._maybe_refresh()
         packed = [self._pack(d) for d in data]
         buckets = {}
         for idx, pc in enumerate(packed):
