@@ -31,11 +31,31 @@ class AceCalculator:
     def __init__(self, name, config):
         self.config = config
         self.name = name
-        sec = config.sections["ACE"]
-        self.sec = sec
+        self.sec = config.sections["ACE"]
+        setup_cache()
+        self._fingerprint = None
+        self._maybe_refresh()
+
+    def _hyperparam_fingerprint(self):
+        sec = self.sec
+        return (sec.numtypes, tuple(sec.types), tuple(sec.ranks),
+                tuple(sec.lmax), tuple(sec.nmax), int(sec.nmaxbase),
+                tuple(sec.rcutfac), tuple(sec.lmbda), tuple(sec.rcinner),
+                tuple(sec.drcinner), tuple(sec.lmin), bool(sec.bzeroflag),
+                sec.b_basis, bool(sec.wigner_flag), tuple(sec.erefs),
+                tuple(self.config.sections["REFERENCE"].lmp_pairdecl))
+
+    def _maybe_refresh(self):
+        """Rebuild the descriptor plan when section hyperparameters changed
+        (library-mode loop_over_fits edits; SnapCalculator analog)."""
+        fp = self._hyperparam_fingerprint()
+        if fp == self._fingerprint:
+            return
+        self._fingerprint = fp
+        sec = self.sec
         self.plan = build_ace_plan(sec)
         self.numtypes = sec.numtypes
-        self.refspec = parse_reference(config.sections["REFERENCE"],
+        self.refspec = parse_reference(self.config.sections["REFERENCE"],
                                        sec.numtypes)
         self.cutoff = max(float(np.max(self.plan.rcut)),
                           self.refspec.max_cutoff)
@@ -47,7 +67,6 @@ class AceCalculator:
         sec.blank2J = np.ones(len(self.plan.labels) + (
             0 if sec.bzeroflag else sec.numtypes))
         self._jit_cache = {}
-        setup_cache()
 
     def get_width(self):
         w = len(self.plan.labels)
@@ -101,6 +120,7 @@ class AceCalculator:
             types=types, natoms=int(data["NumAtoms"]), data=data)
 
     def host_preprocess(self, data):
+        self._maybe_refresh()
         packed = [self._pack(d) for d in data]
         buckets = {}
         for idx, pc in enumerate(packed):

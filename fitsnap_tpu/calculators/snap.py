@@ -84,7 +84,8 @@ class SnapCalculator:
                 bool(sec.bnormflag), bool(sec.bzeroflag),
                 bool(sec.wselfallflag), bool(sec.quadraticflag),
                 bool(sec.switchflag), bool(sec.switchinnerflag),
-                getattr(sec, "sinner", None), getattr(sec, "dinner", None))
+                getattr(sec, "sinner", None), getattr(sec, "dinner", None),
+                tuple(self.config.sections["REFERENCE"].lmp_pairdecl))
 
     def _maybe_refresh(self):
         """Rebuild the kernel plan when section hyperparameters changed.

@@ -343,12 +343,20 @@ def plan_from_yace(path) -> AcePlan:
     elements = doc["elements"]
     numtypes = len(elements)
     bond = next(iter(doc["bonds"].values()))
-    crad = np.asarray(bond["radcoefficients"], float)
-    eye = np.zeros_like(crad)
-    for n in range(crad.shape[0]):
-        eye[n, :, n] = 1.0
-    assert np.allclose(crad, eye), \
-        "only identity radcoefficients (R_nl = g_n) are supported"
+    # validate EVERY bond block, not just the first: a multi-element .yace
+    # with per-bond differing nradbase or non-identity radcoefficients must
+    # not load silently with the wrong radial basis
+    for key, b in doc["bonds"].items():
+        assert int(b["nradbasemax"]) == int(bond["nradbasemax"]), (
+            f"bond {key}: nradbasemax {b['nradbasemax']} differs from "
+            f"{bond['nradbasemax']} (per-bond radial sizes unsupported)")
+        crad = np.asarray(b["radcoefficients"], float)
+        eye = np.zeros_like(crad)
+        for n in range(crad.shape[0]):
+            eye[n, :, n] = 1.0
+        assert np.allclose(crad, eye), (
+            f"bond {key}: only identity radcoefficients (R_nl = g_n) "
+            "are supported")
     nt = numtypes
     rc = np.zeros((nt, nt))
     lam = np.zeros((nt, nt))

@@ -428,7 +428,18 @@ def reference_labels_and_terms(section):
         if rank < 4:
             raw += generate_nl_labels(rank, nmx, lmx, numtypes, lmn)
         elif basis == "pa_tabulated":
-            raw += pa_tabulated_labels(rank, nmx, lmx, numtypes, lmn)
+            try:
+                raw += pa_tabulated_labels(rank, nmx, lmx, numtypes, lmn)
+            except NotImplementedError as exc:
+                # default basis is pa_tabulated (reference ace.py:43); for
+                # rank/l spaces its tabulation does not cover, fall back to
+                # the minsub (YSG) basis instead of hard-failing
+                import warnings
+                warnings.warn(
+                    f"pa_tabulated basis unavailable for rank={rank}, "
+                    f"lmax={lmx} ({exc}); falling back to minsub (YSG) "
+                    "labels for this rank", stacklevel=2)
+                raw += pa_labels(rank, nmx, lmx, numtypes, lmn)
         else:
             raw += pa_labels(rank, nmx, lmx, numtypes, lmn)
     per_mu0 = sort_labels([(mu0,) + lab for lab in raw

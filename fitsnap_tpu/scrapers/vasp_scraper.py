@@ -21,6 +21,7 @@ dicts.  Per-step behavior matches the reference:
 
 import json
 import os
+import re
 from glob import glob
 from os import path
 
@@ -179,7 +180,23 @@ class VaspScraper(Scraper):
             for f in outcars:
                 stem = path.relpath(f, datapath).replace(
                     os.sep, "_").replace("_OUTCAR", "")
-                cached = sorted(glob(path.join(json_dir, f"{stem}_*.json")))
+                # Anchor to `<stem>_<step>[_<label>].json` and sort by step
+                # number: a lexicographic sort puts 'stem_10' before
+                # 'stem_2' (changing the train/test tail split between the
+                # first run and cached runs), and an unanchored glob also
+                # matches other OUTCARs whose stem extends this one.
+                step_re = re.compile(
+                    re.escape(stem) + r"_(\d+)" +
+                    (f"(?:_{re.escape(unconv_label)})?" if unconv_label
+                     else "") + r"\.json$")
+                matches = [
+                    (int(m.group(1)), m.group(0))
+                    for m in (step_re.fullmatch(path.basename(p))
+                              for p in glob(
+                                  path.join(json_dir, f"{stem}_*.json")))
+                    if m]
+                cached = [path.join(json_dir, name)
+                          for _, name in sorted(matches)]
                 if cached and not ignore_jsons:
                     for cf in cached:
                         with open(cf) as fp:

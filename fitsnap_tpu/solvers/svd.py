@@ -2,7 +2,7 @@
 
 Solves the weighted system with an SVD-based lstsq at singular-value cutoff
 1e-13.  A device (TPU) path via normal equations is provided by
-`fitsnap_tpu.parallel.linalg` and used by the distributed fitting entry
+`fitsnap_tpu.parallel.fit` and used by the distributed fitting entry
 point; this host path is the float64 parity oracle.
 """
 
