@@ -9,6 +9,7 @@ import sys
 
 def main():
     from fitsnap_tpu.fitsnap import FitSnap
+    from fitsnap_tpu.io.screen import screen
 
     fs = FitSnap(arglist=sys.argv[1:])
     fs.scrape_configs(delete_scraper=True)
@@ -16,7 +17,7 @@ def main():
     fs.perform_fit()
     fs.write_output()
     for stage, dt in fs.timings.items():
-        print(f"{stage:>8}: {dt:8.3f} s")
+        screen(f"{stage:>8}: {dt:8.3f} s")
 
 
 if __name__ == "__main__":

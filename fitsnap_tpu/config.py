@@ -61,15 +61,27 @@ def parse_cmdline(arglist=None):
 
 
 class _Reader:
-    """Typed access over a case-preserving ConfigParser."""
+    """Typed access over a case-preserving ConfigParser.
+
+    Every `get` records the (section, key) it consumed; `validate` then
+    rejects any key present in the input that no section ever read — the
+    unmatched-variable check of the reference
+    (`fitsnap3lib/io/sections/sections.py:44-50`), derived from actual
+    reads instead of hand-maintained allowed-key lists.
+    """
 
     def __init__(self, cp: configparser.ConfigParser):
         self._cp = cp
+        self._consumed = {}
+
+    def _mark(self, section, key):
+        self._consumed.setdefault(section, set()).add(key)
 
     def has_section(self, name):
         return self._cp.has_section(name)
 
     def get(self, section, key, fallback, interp="str"):
+        self._mark(section, key)
         conv = _CONVERTERS[interp]
         if section not in self._cp:
             return conv(fallback)
@@ -84,6 +96,27 @@ class _Reader:
         if section not in self._cp:
             return []
         return list(self._cp[section].keys())
+
+    def consume(self, section, key):
+        """Mark a dynamically-named key (group name, pair_coeff*) as valid."""
+        self._mark(section, key)
+
+    def consume_all(self, section):
+        for k in self.keys(section):
+            self._mark(section, k)
+
+    def validate(self, known_sections):
+        for sec in self._cp.sections():
+            if sec not in known_sections:
+                raise ValueError(
+                    f"Unknown section [{sec}] in input; known sections: "
+                    f"{sorted(known_sections)}")
+            used = self._consumed.get(sec, set())
+            for key in self._cp[sec]:
+                if key not in used:
+                    raise ValueError(
+                        f"Found unmatched variable in {sec} section "
+                        f"of input: {key}")
 
 
 class BispectrumSection:
@@ -202,6 +235,15 @@ class AceSection:
         # own left-fold basis
         self.b_basis = r.get(self.name, "b_basis", "pa_tabulated")
         self.wigner_flag = r.get(self.name, "wigner_flag", "1", "bool")
+        # accepted-for-compatibility keys (reference ace.py:19-21): mumax is
+        # always len(types) (ace.py:38), RPI_heuristic is unused there too
+        r.get(self.name, "mumax", str(self.numtypes))
+        r.get(self.name, "RPI_heuristic", "root_SO3_span")
+        self.manuallabs = r.get(self.name, "manuallabs", "None")
+        if self.manuallabs != "None":
+            raise NotImplementedError(
+                "ACE manuallabs label files are not supported; use "
+                "b_basis = pa_tabulated | minsub | native")
         self.erefs = [float(x) for x in r.get(self.name, "erefs", " ".join(["0.0"] * self.numtypes)).split()]
         self.bikflag = r.get(self.name, "bikflag", "0", "bool")
         self.dgradflag = r.get(self.name, "dgradflag", "0", "bool")
@@ -223,6 +265,10 @@ class CustomSection:
         self.num_radial = r.get(self.name, "num_radial", "8", "int")
         self.num_3body = r.get(self.name, "num_3body", "23", "int")
         self.cutoff = r.get(self.name, "cutoff", "5.0", "float")
+        # accepted-for-compatibility (reference custom.py:10,18): derived
+        # quantities here, not free parameters
+        r.get(self.name, "numAtoms", "1", "int")
+        r.get(self.name, "num_descriptors", "0", "int")
         self.num_descriptors = self.num_radial + self.num_3body
         self.ncoeff = self.num_descriptors
         self.bzeroflag = True
@@ -308,6 +354,9 @@ class GroupsSection:
         self.vasp_unconverged_label = r.get(
             self.name, "vasp_unconverged_label", "UNCONVERGED")
         self.group_table = {}
+        # any non-reserved key names a training group (a directory), so the
+        # whole section is valid by construction
+        r.consume_all(self.name)
         if group_file is not None and path.exists(group_file):
             self._read_group_file(group_file)
         else:
@@ -353,6 +402,7 @@ class OutfileSection:
     def __init__(self, r: _Reader, outdir=""):
         self.output_style = r.get(self.name, "output_style", "SNAP")
         self.metrics_style = r.get(self.name, "metrics_style", "MD")
+        r.get(self.name, "detailed_errors", "0", "bool")  # ref outfile.py:18
         self.metric_file = path.join(outdir, r.get(self.name, "metrics", "fitsnap_metrics"))
         self.potential_name = path.join(outdir, r.get(self.name, "potential", "fitsnap_potential"))
         self.metrics = self.metric_file
@@ -387,6 +437,7 @@ class ReferenceSection:
             "pair_style " + r.get(self.name, "pair_style", "zero 10.0")]
         for key, value in r.items(self.name):
             if key.startswith("pair_coeff"):
+                r.consume(self.name, key)
                 self.lmp_pairdecl.append("pair_coeff " + value)
         if len(self.lmp_pairdecl) == 1:
             self.lmp_pairdecl.append("pair_coeff * *")
@@ -463,6 +514,8 @@ class ArdSection:
         self.threshold_lambda = r.get(self.name, "threshold_lambda", "100000", "int")
         self.directmethod = r.get(self.name, "directmethod", "0", "bool")
         self.logcut = r.get(self.name, "logcut", "-4", "float")
+        self.scap = r.get(self.name, "scap", "1.0", "float")
+        self.scai = r.get(self.name, "scai", "1.0", "float")
 
 
 class NetworkSection:
@@ -491,6 +544,13 @@ class NetworkSection:
         self.save_state_input = r.get(name, "save_state_input", "None")
         self.output_file = r.get(name, "output_file", "FitTorch_Pytorch.pt")
         self.dtype_str = r.get(name, "dtype", "float32")
+        self.save_freq = r.get(name, "save_freq", "10", "int")
+        # accepted-for-compatibility (reference pytorch.py:13-15, jax.py:23)
+        r.get(name, "num_elements", "0", "int")
+        r.get(name, "silence_ace_multi_warning", "0", "bool")
+        r.get(name, "output_style", "None")
+        r.get(name, "opt_state_input", "None")
+        r.get(name, "opt_state_output", "None")
 
 
 class ExtrasSection:
@@ -592,6 +652,47 @@ class Config:
         for nn_name in ("PYTORCH", "NETWORK", "JAX"):
             if r.has_section(nn_name):
                 self.sections[nn_name] = NetworkSection(r, nn_name, ncoeff)
+        self._validate(r)
+
+    # section <-> CALCULATOR.calculator pairing (reference
+    # `sections.py:93-96 _check_if_used`, `bispectrum.py:16`)
+    _CALC_SECTION = {"LAMMPSSNAP": "BISPECTRUM", "LAMMPSPACE": "ACE",
+                     "LAMMPSCUSTOM": "CUSTOM", "BASIC": "BISPECTRUM"}
+
+    _KNOWN_SECTIONS = {
+        "CALCULATOR", "BISPECTRUM", "ACE", "CUSTOM", "ESHIFT", "TRAINSHIFT",
+        "PATH", "GROUPS", "MEMORY", "OUTFILE", "REFERENCE", "SCRAPER",
+        "SOLVER", "EXTRAS", "RIDGE", "LASSO", "ARD", "PYTORCH", "NETWORK",
+        "JAX", "DEFAULT", "TEMPLATE",
+    }
+
+    def _validate(self, r: _Reader):
+        """Reject unknown sections/keys and inconsistent cross-section picks.
+
+        The reference validates allowed keys per section
+        (`io/sections/sections.py:44-50`) and asserts solver/calculator
+        sections are actually selected (`sections.py:93-96`); a typo'd
+        `twojmax` must not silently fit garbage.
+        """
+        r.validate(self._KNOWN_SECTIONS)
+        calcname = self.sections["CALCULATOR"].calculator.upper()
+        want = self._CALC_SECTION.get(calcname)
+        if want is None:
+            raise ValueError(f"Unknown calculator: {calcname}")
+        for sec in ("BISPECTRUM", "ACE", "CUSTOM"):
+            if r.has_section(sec) and sec != want:
+                raise ValueError(
+                    f"{sec} section is in input, but calculator is "
+                    f"{calcname} (expects [{want}])")
+        solver = self.sections["SOLVER"].solver.upper()
+        for sec in ("RIDGE", "LASSO", "ARD"):
+            if r.has_section(sec) and solver != sec:
+                raise ValueError(
+                    f"{sec} section is in input, but not set as solver")
+        for sec in ("PYTORCH", "NETWORK", "JAX"):
+            if r.has_section(sec) and solver != sec:
+                raise ValueError(
+                    f"{sec} section is in input, but not set as solver")
 
     def has_section(self, name):
         return name in self.sections

@@ -92,6 +92,8 @@ class FitSnap:
         setup_cache()
         self.comm = comm  # accepted for API compatibility; unused
         self.config = Config(input, arglist or [])
+        from fitsnap_tpu.io.screen import init_output
+        init_output(self.config.args)
         self.scraper = _scraper_factory(self.config)
         self.calculator = _calculator_factory(self.config)
         self.solver = _solver_factory(self.config)

@@ -34,6 +34,9 @@ class PaceOutput:
             f.write(self._yace_string(np.asarray(coeffs)))
         with open(pot + ".mod", "wt") as f:
             f.write(self._mod_string())
+        if self.config.args.tarball:
+            from fitsnap_tpu.io.outputs.common import write_tarball
+            write_tarball(self.config, [".acecoeff", ".yace", ".mod"])
 
     def _plan(self):
         # the calculator owns the plan; reconstruct if needed

@@ -104,6 +104,9 @@ class SnapOutput:
             f.write(self._param_string())
         with open(pot + ".mod", "wt") as f:
             f.write(self._potential_file())
+        if self.config.args.tarball:
+            from fitsnap_tpu.io.outputs.common import write_tarball
+            write_tarball(self.config, [".snapcoeff", ".snapparam", ".mod"])
 
     def _coeff_string(self, coeffs):
         sec = self.config.sections["BISPECTRUM"]
