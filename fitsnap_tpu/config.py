@@ -229,7 +229,9 @@ class AceSection:
         # a single lmin applies to every rank (reference ace.py:83-84)
         if len(self.lmin) == 1:
             self.lmin = self.lmin * len(self.ranks)
-        self.bzeroflag = r.get(self.name, "bzeroflag", "1", "bool")
+        # reference default is 0 (ace.py:48): a constant-offset column is
+        # prepended unless the input turns it off
+        self.bzeroflag = r.get(self.name, "bzeroflag", "0", "bool")
         # basis choice (reference ace.py:43): pa_tabulated (PA-RPI, the
         # reference default) or minsub (YSG); 'native' is this framework's
         # own left-fold basis

@@ -360,30 +360,43 @@ class NetworkSolver(Solver):
                 else self._BATCH_KEYS)
         return {k: ds[k][idx] for k in keys}
 
-    def _loss(self, params, batch):
+    def _loss(self, params, batch, axis=None):
+        """Weighted MSE loss of one minibatch.
+
+        With `axis` set (data-parallel shard_map over a mesh axis), each
+        device holds a slice of the minibatch; residual sums and count
+        normalizers are psummed so every device sees the GLOBAL loss value
+        — exactly the single-device loss, independent of the device count.
+        Gradients of this loss are per-device partial sums; the training
+        step psums them (SURVEY §7.7: gradient psum over ICI replaces the
+        reference's single-process limitation, `docs/source/Pytorch.rst:260`).
+        """
+        ps = ((lambda x: jax.lax.psum(x, axis)) if axis is not None
+              else (lambda x: x))
         net = self.net
         if self.pas:
             pred = self._forward_pas(params, batch)
             real = batch["real"].astype(pred.dtype)
             res = (pred - batch["pas_target"]) * real
-            na = jnp.maximum(real.sum(), 1.0)
-            return jnp.sum(batch["ew"][:, None] * res ** 2) / na
+            na = jnp.maximum(ps(real.sum()), 1.0)
+            return ps(jnp.sum(batch["ew"][:, None] * res ** 2)) / na
         fwd = self._forward_pairwise if self.pairwise \
             else self._forward_batch
         e_pred, f_pred = fwd(params, batch)
         real = batch["real"].astype(e_pred.dtype)
         live = (batch["nat"] > 0).astype(e_pred.dtype)
-        nfc = jnp.maximum((real.sum(1) * 3 * live).sum(), 1.0)
-        ne = jnp.maximum(live.sum(), 1.0)
+        nfc = jnp.maximum(ps((real.sum(1) * 3 * live).sum()), 1.0)
+        ne = jnp.maximum(ps(live.sum()), 1.0)
         e_res = (e_pred - batch["e_target"]) * live
         f_res = (f_pred - batch["f_target"]) * real[..., None] \
             * live[:, None, None]
         if net.global_weight_bool:
-            loss = (net.energy_weight * jnp.sum(e_res ** 2) / ne
-                    + net.force_weight * jnp.sum(f_res ** 2) / nfc)
+            loss = (net.energy_weight * ps(jnp.sum(e_res ** 2)) / ne
+                    + net.force_weight * ps(jnp.sum(f_res ** 2)) / nfc)
         else:
-            loss = (jnp.sum(batch["ew"] * e_res ** 2) / ne
-                    + jnp.sum(batch["fw"][:, None, None] * f_res ** 2) / nfc)
+            loss = (ps(jnp.sum(batch["ew"] * e_res ** 2)) / ne
+                    + ps(jnp.sum(batch["fw"][:, None, None] * f_res ** 2))
+                    / nfc)
         return loss
 
     # ------------- training -------------
@@ -434,9 +447,18 @@ class NetworkSolver(Solver):
         w_last, b_last = self.params[-1]
         self.params[-1] = (w_last, b_last + e_mean)
 
+        # data parallelism: shard each minibatch over a "dp" mesh axis
+        # (--devices N / FITSNAP_TPU_NN_DEVICES); gradients are psummed so
+        # the update is the single-device update at any device count
+        import os
+        ndev = (self.config.args.devices
+                or int(os.environ.get("FITSNAP_TPU_NN_DEVICES", "0"))
+                or 1)
+        ndev = min(ndev, len(jax.devices()))
+
         opt = optax.adam(net.learning_rate)
         opt_state = opt.init(self.params)
-        loss_fn = self._loss
+        loss_fn = partial(self._loss, axis="dp" if ndev > 1 else None)
 
         # per-bucket train/val indices
         rng = np.random.default_rng(13)
@@ -452,6 +474,13 @@ class NetworkSolver(Solver):
             train_sets.append(tr)
             val_sets.append(va)
 
+        def _plan_bsz(n):
+            """Minibatch size: with dp, a multiple of the device count."""
+            bsz = min(bs, n)
+            if ndev > 1:
+                bsz = ndev * max(1, bsz // ndev)
+            return bsz
+
         # The ENTIRE training runs as one jitted scan over epochs (inner
         # scans over minibatches), with all epochs' shuffled index arrays
         # precomputed on host.  One device call instead of
@@ -465,7 +494,9 @@ class NetworkSolver(Solver):
         for bi, tr in enumerate(train_sets):
             if len(tr) == 0:
                 continue
-            bsz = min(bs, len(tr))
+            bsz = _plan_bsz(len(tr))
+            if len(tr) < bsz:          # fewer examples than devices: wrap
+                tr = np.resize(tr, bsz)
             nst = (len(tr) - bsz) // bsz + 1
             perms = np.stack([
                 (rng.permutation(tr) if net.shuffle_flag else np.asarray(tr))
@@ -476,10 +507,13 @@ class NetworkSolver(Solver):
         for bi, va in enumerate(val_sets):
             if len(va) == 0:
                 continue
-            bsz = min(bs, len(va))
+            bsz = _plan_bsz(len(va))
+            va = np.asarray(va)
+            if len(va) < bsz:
+                va = np.resize(va, bsz)
             nst = (len(va) - bsz) // bsz + 1
             val_plans.append(jnp.asarray(
-                np.asarray(va)[:nst * bsz].reshape(nst, bsz), jnp.int32))
+                va[:nst * bsz].reshape(nst, bsz), jnp.int32))
             vkeys.append(bi)
 
         batch_keys = (self._BATCH_KEYS_PAS if self.pas
@@ -490,17 +524,22 @@ class NetworkSolver(Solver):
         dev_buckets = tuple({k: jnp.asarray(ds[k]) for k in batch_keys}
                             for ds in self.buckets)
 
-        def epoch_body(bufs, carry, xs):
+        def epoch_body(bufs, vplans, carry, xs):
             params, opt_state, best_val, best_params = carry
             tl_sum = jnp.zeros(())
             tn = 0
             for slot, bi in enumerate(tkeys):
-                perms_e = xs[slot]                     # (nsteps, bsz)
+                perms_e = xs[slot]                     # (nsteps, bsz_local)
 
                 def step(c, idx, _bi=bi):
                     p, s = c
                     batch = {k: v[idx] for k, v in bufs[_bi].items()}
                     loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+                    if ndev > 1:
+                        # loss is already global (psummed inside _loss);
+                        # grads are this device's partial sums
+                        grads = jax.tree.map(
+                            lambda g: jax.lax.psum(g, "dp"), grads)
                     updates, s = opt.update(grads, s)
                     return (optax.apply_updates(p, updates), s), loss
 
@@ -516,7 +555,7 @@ class NetworkSolver(Solver):
                     def vstep(_, idx, _bi=bi):
                         batch = {k: v[idx] for k, v in bufs[_bi].items()}
                         return None, loss_fn(params, batch)
-                    _, vls = jax.lax.scan(vstep, None, val_plans[slot])
+                    _, vls = jax.lax.scan(vstep, None, vplans[slot])
                     vl_sum = vl_sum + vls.sum()
                     vn += int(vls.shape[0])
                 vl = vl_sum / max(vn, 1)
@@ -528,16 +567,32 @@ class NetworkSolver(Solver):
             best_val = jnp.minimum(best_val, vl)
             return (params, opt_state, best_val, best_params), (tl, vl)
 
-        @jax.jit
-        def train_all(params, opt_state, perms, bufs):
+        def train_all(params, opt_state, perms, bufs, vplans):
             init = (params, opt_state, jnp.asarray(np.inf), params)
             (params, opt_state, best_val, best_params), hist = jax.lax.scan(
-                partial(epoch_body, bufs), init, perms)
+                partial(epoch_body, bufs, vplans), init, perms)
             return params, best_params, hist
 
         perms_stacked = tuple(train_perms)
-        _, best_params, hist = train_all(self.params, opt_state,
-                                         perms_stacked, dev_buckets)
+        vplans_t = tuple(val_plans)
+        if ndev > 1:
+            # SPMD over the dp mesh: datasets and params replicated, every
+            # index plan sharded on its minibatch axis; each device gathers
+            # and differentiates its share, psums make the step global
+            from jax.sharding import Mesh, PartitionSpec as P
+            mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("dp",))
+            train_fn = jax.jit(jax.shard_map(
+                train_all, mesh=mesh,
+                in_specs=(P(), P(),
+                          tuple(P(None, None, "dp") for _ in perms_stacked),
+                          tuple(P() for _ in dev_buckets),
+                          tuple(P(None, "dp") for _ in vplans_t)),
+                out_specs=(P(), P(), (P(), P())),
+                check_vma=False))
+        else:
+            train_fn = jax.jit(train_all)
+        _, best_params, hist = train_fn(self.params, opt_state,
+                                        perms_stacked, dev_buckets, vplans_t)
         tls, vls = [np.asarray(x) for x in hist]
         self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
         self.params = best_params

@@ -2,11 +2,9 @@
 
 - Ta_XYZ: exercises the extended-XYZ scraper end-to-end (19Nov19_Standard).
 - Ta_Quadratic: quadraticflag + twojmax=8 (20May21_Standard); several
-  minutes of CPU, so gated behind FITSNAP_TPU_SLOW_TESTS=1 (the WBe
-  25k-config golden runs in CI-equivalent benchmarking, not here).
+  minutes of CPU, so marked `slow` (run deliberately with
+  `python -m pytest tests/ -m slow`).
 """
-
-import os
 
 import numpy as np
 import pytest
@@ -35,8 +33,7 @@ def test_ta_xyz_golden(tmp_path, monkeypatch):
     assert np.abs(fs.solver.fit - std).max() < 1e-6
 
 
-@pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
-                    reason="several minutes; set FITSNAP_TPU_SLOW_TESTS=1")
+@pytest.mark.slow
 def test_ta_quadratic_golden(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     ex = REFERENCE / "examples/Ta_Quadratic_JCP2018"
@@ -46,8 +43,7 @@ def test_ta_quadratic_golden(tmp_path, monkeypatch):
     assert np.abs(fs.solver.fit - std).max() < 1e-6
 
 
-@pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
-                    reason="~12 min; set FITSNAP_TPU_SLOW_TESTS=1")
+@pytest.mark.slow
 def test_fe_spin_golden(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     ex = REFERENCE / "examples/Fe_Linear_NPJ2021"
@@ -56,8 +52,7 @@ def test_fe_spin_golden(tmp_path, monkeypatch):
     assert np.abs(fs.solver.fit - std).max() < 1e-6
 
 
-@pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
-                    reason="25k configs; set FITSNAP_TPU_SLOW_TESTS=1")
+@pytest.mark.slow
 def test_wbe_golden(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     ex = REFERENCE / "examples/WBe_PRB2019"
@@ -66,8 +61,7 @@ def test_wbe_golden(tmp_path, monkeypatch):
     assert np.abs(fs.solver.fit - std).max() < 1e-6
 
 
-@pytest.mark.skipif(os.environ.get("FITSNAP_TPU_SLOW_TESTS") != "1",
-                    reason="hours on one CPU core; FITSNAP_TPU_SLOW_TESTS=1")
+@pytest.mark.slow
 def test_inp_chemflag_golden(tmp_path, monkeypatch):
     """Explicit multi-element (chemflag/EME) full-dataset golden.
 
