@@ -18,8 +18,11 @@ ETA = 4.0
 
 
 def cutoff_function(r, c):
+    # the reference leaves r > c unclamped (its neighbor list can't produce
+    # such pairs); here the neighbor cutoff is max(custom, reference-pot)
+    # so out-of-range pairs are possible and must contribute zero
     ramp = 0.5 + 0.5 * jnp.cos(jnp.pi * (r - RMIN_CUT) / (c - RMIN_CUT))
-    return jnp.where(r > RMIN_CUT, ramp, 1.0)
+    return jnp.where(r >= c, 0.0, jnp.where(r > RMIN_CUT, ramp, 1.0))
 
 
 def bessel_basis(r, fc, c, num_radial):

@@ -1,0 +1,144 @@
+"""Pairwise CUSTOM NN path: descriptor units, FD forces, end-to-end run.
+
+Reference: `fitsnap3lib/calculators/lammps_custom.py` (raw neighbor
+geometry from a `pair zero` run), `lib/neural_networks/pairwise.py:38`
+(Bessel radial + Gaussian-3-body descriptors computed inside the model,
+forces by autograd), example `examples/Ta_pytorch_custom_NN`.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.util import REFERENCE
+
+EXAMPLE = REFERENCE / "examples/Ta_pytorch_custom_NN/Ta-example.in"
+
+pytestmark = pytest.mark.skipif(not EXAMPLE.exists(),
+                                reason="reference examples not available")
+
+
+def test_pair_descriptors_basic():
+    from fitsnap_tpu.ops.custom_desc import pair_descriptors
+
+    rng = np.random.default_rng(3)
+    A, K = 6, 10
+    disp = jnp.asarray(rng.normal(size=(A, K, 3)) * 2.0)
+    mask = jnp.asarray(rng.random((A, K)) < 0.8)
+    cutoff, nrad, n3b = 5.0, 8, 23
+    d = pair_descriptors(disp, mask, cutoff, nrad, n3b)
+    assert d.shape == (A, K, nrad + n3b)
+    assert np.isfinite(np.asarray(d)).all()
+
+    # pairs beyond the cutoff contribute nothing
+    far = jnp.asarray(np.full((A, K, 3), 10.0))
+    d_far = pair_descriptors(far, mask, cutoff, nrad, n3b)
+    assert np.abs(np.asarray(d_far)).max() < 1e-12
+
+
+@pytest.fixture(scope="module")
+def custom_fixture(tmp_path_factory):
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    tmp = tmp_path_factory.mktemp("custom_nn")
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        txt = EXAMPLE.read_text().replace(
+            "dataPath = ../Ta_Linear_JCP2014/JSON",
+            f"dataPath = {REFERENCE}/examples/Ta_Linear_JCP2014/JSON")
+        infile = tmp / "Ta.in"
+        infile.write_text(txt)
+        fs = FitSnap(str(infile), arglist=["--overwrite"])
+        fs.scrape_configs()
+        data = [d for d in fs.data if d["Group"] == "Displaced_BCC"][:4]
+        sec = fs.config.sections["NETWORK"]
+        sec.num_epochs = 2
+        sec.manual_seed_flag = 1
+        fs.solver.prepare_dataset(fs.calculator, data)
+        fs.solver.perform_fit(calculator=fs.calculator, data=data)
+    finally:
+        os.chdir(cwd)
+    return fs, data
+
+
+def test_custom_nn_trains(custom_fixture):
+    fs, data = custom_fixture
+    assert len(fs.solver.history) == 2
+    assert all(np.isfinite(h[1]) for h in fs.solver.history)
+
+
+def test_custom_nn_fd_forces(custom_fixture):
+    """-dE/dx from finite differences must match the model forces."""
+    from fitsnap_tpu.ops.neighbors import host_neighbors
+
+    fs, data = custom_fixture
+    sol = fs.solver
+    calc = fs.calculator
+    d = data[0]
+    cell = np.asarray(d["Lattice"], float)
+    types_str = d["AtomTypes"]
+    N = len(d["Positions"])
+    types = np.array([calc.type_mapping[t] - 1 for t in types_str], np.int32)
+
+    def model_eval(pos):
+        disp, jidx, mask, kmax = host_neighbors(pos, cell, N, calc.cutoff)
+        batch = {
+            "disp": jnp.asarray(disp)[None],
+            "mask": jnp.asarray(mask)[None],
+            "types": jnp.asarray(types)[None],
+            "real": jnp.ones((1, N), bool),
+            "nat": jnp.full((1,), N, jnp.int32),
+            "jidx": jnp.asarray(jidx)[None],
+        }
+        e_per_atom, forces = sol._forward_pairwise(sol.params, batch)
+        return float(e_per_atom[0]) * N, np.asarray(forces[0])
+
+    pos = np.asarray(d["Positions"], float)
+    _, f0 = model_eval(pos)
+    h = 1e-5
+    errs = []
+    for a in (0, N // 2):
+        for c in range(3):
+            pp = pos.copy()
+            pp[a, c] += h
+            ep, _ = model_eval(pp)
+            pm = pos.copy()
+            pm[a, c] -= h
+            em, _ = model_eval(pm)
+            f_fd = -(ep - em) / (2 * h)
+            errs.append(abs(f_fd - f0[a, c]))
+    errs = np.asarray(errs)
+    # reference oracle: mean < 1e-3, max < 0.1 (test_pytorch.py:106-114);
+    # float64 here so assert much tighter
+    assert errs.mean() < 1e-6, errs
+    assert errs.max() < 1e-5, errs
+
+
+def test_custom_end_to_end_cli(tmp_path, monkeypatch):
+    """The shipped Ta_pytorch_custom_NN input runs end-to-end unchanged
+    (short epochs), producing the custom coefficient/metrics outputs."""
+    monkeypatch.chdir(tmp_path)
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    txt = EXAMPLE.read_text().replace(
+        "dataPath = ../Ta_Linear_JCP2014/JSON",
+        f"dataPath = {REFERENCE}/examples/Ta_Linear_JCP2014/JSON")
+    txt = txt.replace("num_epochs = 20", "num_epochs = 1")
+    # keep runtime bounded: two small groups
+    for g in ("Displaced_A15", "Displaced_FCC", "Elastic_BCC", "Elastic_FCC",
+              "GSF_110", "GSF_112", "Liquid", "Surface", "Volume_A15",
+              "Volume_BCC", "Volume_FCC"):
+        txt = "\n".join(ln for ln in txt.splitlines()
+                        if not ln.startswith(g))
+    infile = tmp_path / "Ta.in"
+    infile.write_text(txt)
+    fs = FitSnap(str(infile), arglist=["--overwrite"])
+    fs.scrape_configs()
+    fs.process_configs()
+    fs.perform_fit()
+    fs.write_output()
+    assert (tmp_path / "Ta_metrics.md").exists()
+    assert len(fs.solver.history) == 1
