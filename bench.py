@@ -148,12 +148,38 @@ def main():
     log(f"first step (compile) {t_first:.2f}s  steady step {t_step:.3f}s")
     log(f"end-to-end (amortized) {end_to_end:.2f}s  rows/s {rows_per_sec:.0f}")
 
-    print(json.dumps({
+    result = {
         "metric": "ta_linear_fit_seconds",
         "value": round(end_to_end, 4),
         "unit": "s",
         "vs_baseline": round(10.0 / end_to_end, 2),
-    }))
+        "extra": {
+            "ta_rows_per_sec": round(rows_per_sec),
+            "ta_energy_mae": round(mae_e, 6),
+            "ta_force_mae": round(mae_f, 6),
+            "ta_coeff_maxdiff": float(dcoeff),
+        },
+    }
+
+    # WBe_PRB2019 full-scale throughput (25,422 configs / 1.77M rows):
+    # VERDICT r1 asked for a driver-tracked artifact behind the README's
+    # rows/s claim.  Opt out with FITSNAP_TPU_BENCH_WBE=0; failures keep
+    # the primary Ta metric intact.
+    if os.environ.get("FITSNAP_TPU_BENCH_WBE", "1") != "0":
+        try:
+            from benchmarks.wbe_tpu import run as wbe_run
+            wbe = wbe_run()
+            result["extra"].update({
+                "wbe_rows": round(wbe["rows"]),
+                "wbe_rows_per_sec": round(wbe["rows_per_sec"]),
+                "wbe_seconds": round(wbe["seconds"], 1),
+                "wbe_coeff_maxdiff": wbe["coeff_maxdiff"],
+            })
+        except Exception as e:  # noqa: BLE001 - bench must still report Ta
+            log(f"WBe benchmark failed: {e!r}")
+            result["extra"]["wbe_error"] = repr(e)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

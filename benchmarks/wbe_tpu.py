@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def main():
+def run(limit=None, refine=False, mae=False):
+    """Run the WBe fit end-to-end; returns a result dict for bench.py."""
     import jax
     jax.config.update("jax_enable_x64", True)
 
@@ -30,8 +31,6 @@ def main():
 
     setup_cache()
     warm_transfers()
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    limit = int(args[0]) if args else None
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
     print(f"backend={jax.default_backend()} dtype={dtype.__name__}",
           flush=True)
@@ -128,7 +127,7 @@ def main():
     # mixed-precision iterative refinement: residuals b - Ax are small, so
     # f32 rows carry full relative accuracy where the directly-formed
     # normal equations cannot (recovers the f64-quality fit)
-    if "--refine" in sys.argv:
+    if refine:
         import jax.numpy as jnp
         from fitsnap_tpu.parallel.fit import build_residual_fn
         residual = build_residual_fn(calc.params, calc.numtypes, flags,
@@ -160,11 +159,12 @@ def main():
     if std.size == coeff.size + 2:
         # bzeroflag=1: the standard carries a zero offset row per type
         std = std.reshape(2, -1)[:, 1:].reshape(-1)
+    dcoeff = None
     if std.shape == coeff.shape:
-        print(f"max|coeff - 20May21_Standard| = "
-              f"{np.abs(coeff - std).max():.3e}", flush=True)
+        dcoeff = float(np.abs(coeff - std).max())
+        print(f"max|coeff - 20May21_Standard| = {dcoeff:.3e}", flush=True)
 
-    if "--mae" in sys.argv:
+    if mae:
         import jax
         import jax.numpy as jnp
         from fitsnap_tpu.parallel.fit import build_eval_fn
@@ -182,6 +182,20 @@ def main():
         # with the committed WBe_metrics.md "*Unweighted" rows
         print(f"energy MAE {se/ne:.6f}  force MAE {sf/nf:.6f}  "
               f"(eval {time.time()-t0:.1f}s)", flush=True)
+
+    return {
+        "rows": float(nrows_total),
+        "seconds": float(total),
+        "compute_seconds": float(t_compute),
+        "rows_per_sec": float(nrows_total / max(t_compute, 1e-9)),
+        "coeff_maxdiff": dcoeff,
+    }
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run(limit=int(args[0]) if args else None,
+        refine="--refine" in sys.argv, mae="--mae" in sys.argv)
 
 
 if __name__ == "__main__":

@@ -487,6 +487,7 @@ class SolverSection:
         self.merr_mult = r.get(self.name, "merr_mult", "0", "bool")
         self.merr_method = r.get(self.name, "merr_method", "abc")
         self.merr_cfs = r.get(self.name, "merr_cfs", "all")
+        self.merr_sampler = r.get(self.name, "merr_sampler", "bfgs")
 
 
 class RidgeSection:

@@ -112,6 +112,48 @@ class ANL(Solver):
         return self.fit
 
 
+def adaptive_metropolis(neg_logpost, x0, nmcmc, gamma, rng=None,
+                        propcov_scale=0.01, propcov_ini=None,
+                        t0=100, tadapt=100):
+    """Adaptive Metropolis (Haario) chain over `neg_logpost`.
+
+    Shared by the MCMC linear solver and MERR's sampling mode (reference
+    `solvers/mcmc.py` / `solvers/lreg.py:127` both run this recipe).
+    Returns (samples, cmode, pmode): the chain, the MAP sample, and its
+    negative log-posterior.
+    """
+    cdim = x0.shape[0]
+    rng = rng or np.random.default_rng()
+    samples = np.zeros((nmcmc, cdim))
+    samples[0] = x0
+    cov = np.zeros((cdim, cdim))
+    propcov = (propcov_ini if propcov_ini is not None
+               else propcov_scale * np.eye(cdim))
+    sigcv = gamma * 2.4 ** 2 / cdim
+    p1 = neg_logpost(samples[0])
+    pmode, cmode = p1, samples[0]
+    Xm = samples[0]
+    for k in range(nmcmc - 1):
+        if k > 0:
+            Xm = (k * Xm + samples[k]) / (k + 1.0)
+            rt = (k - 1.0) / k
+            st = (k + 1.0) / k ** 2
+            d = (samples[k] - Xm)[:, None]
+            cov = rt * cov + st * (d @ d.T)
+            if k > t0 and k % tadapt == 0:
+                propcov = sigcv * (cov + 1e-8 * np.eye(cdim))
+        u = rng.multivariate_normal(samples[k], propcov)
+        p2 = neg_logpost(u)
+        if rng.random() <= np.exp(min(0.0, p1 - p2)):
+            samples[k + 1] = u
+            p1 = p2
+            if p1 <= pmode:
+                pmode, cmode = p1, samples[k + 1]
+        else:
+            samples[k + 1] = samples[k]
+    return samples, cmode, pmode
+
+
 class MCMC(Solver):
     """Adaptive Metropolis over coefficients (reference `solvers/mcmc.py`)."""
 
@@ -120,9 +162,7 @@ class MCMC(Solver):
         aw, bw = _weighted_training(a, b, w, fs_dict, trainall)
         sec = self.config.sections["SOLVER"]
         nmcmc = sec.mcmc_num
-        gamma = sec.mcmc_gamma
         sigma = sec.mcmc_sigma
-        cdim = aw.shape[1]
         # start from the least-squares solution
         x0, *_ = np.linalg.lstsq(aw, bw, rcond=1e-13)
 
@@ -130,36 +170,8 @@ class MCMC(Solver):
             r = aw @ x - bw
             return 0.5 * np.sum(r * r) / (sigma * sigma)
 
-        rng = np.random.default_rng()
-        samples = np.zeros((nmcmc, cdim))
-        samples[0] = x0
-        cov = np.zeros((cdim, cdim))
-        propcov = 0.01 * np.eye(cdim)
-        sigcv = gamma * 2.4 ** 2 / cdim
-        p1 = neg_logpost(samples[0])
-        pmode, cmode = p1, samples[0]
-        t0, tadapt = 100, 100
-        na = 0
-        Xm = samples[0]
-        for k in range(nmcmc - 1):
-            if k > 0:
-                Xm = (k * Xm + samples[k]) / (k + 1.0)
-                rt = (k - 1.0) / k
-                st = (k + 1.0) / k ** 2
-                d = (samples[k] - Xm)[:, None]
-                cov = rt * cov + st * (d @ d.T)
-                if k > t0 and k % tadapt == 0:
-                    propcov = sigcv * (cov + 1e-8 * np.eye(cdim))
-            u = rng.multivariate_normal(samples[k], propcov)
-            p2 = neg_logpost(u)
-            if rng.random() <= np.exp(min(0.0, p1 - p2)):
-                samples[k + 1] = u
-                p1 = p2
-                na += 1
-                if p1 <= pmode:
-                    pmode, cmode = p1, samples[k + 1]
-            else:
-                samples[k + 1] = samples[k]
+        samples, cmode, _ = adaptive_metropolis(
+            neg_logpost, x0, nmcmc, sec.mcmc_gamma)
         nburn = nmcmc // 2
         self.fit = cmode
         self.fit_sam = samples[nburn:][:: max(1, (nmcmc - nburn)

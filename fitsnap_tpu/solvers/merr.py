@@ -77,10 +77,41 @@ class MERR(Solver):
         kw = dict(aw=aw, bw=bw, ind_sig=ind_embed, datavar=nugget,
                   multiplicative=bool(sec.merr_mult),
                   merr_method=sec.merr_method)
-        res = minimize(lambda x: -logpost_emb(x, **kw), params_ini,
-                       method="BFGS", options={"gtol": 1e-3})
-        coeffs = res.x[:nbas]
-        sig = res.x[nbas:]
+        if sec.merr_sampler == "mcmc":
+            # Sample the embedded posterior with adaptive Metropolis and take
+            # the MAP sample (reference `solvers/lreg.py:127-175`; there the
+            # branch is only reachable by constructing lreg_merr directly —
+            # here `merr_sampler = mcmc` in [SOLVER] selects it).  Warm-start
+            # at the BFGS mode with a Laplace (inverse-Hessian) proposal —
+            # a cold chain on an ill-conditioned A (SNAP systems reach
+            # cond~1e16) never mixes into the mode (the reference left the
+            # same BFGS pre-step commented out at lreg.py:159).
+            from fitsnap_tpu.solvers.linear import adaptive_metropolis
+            res = minimize(lambda x: -logpost_emb(x, **kw), params_ini,
+                           method="BFGS", options={"gtol": 1e-3})
+            hinv = 0.5 * (res.hess_inv + res.hess_inv.T)
+            ew, ev = np.linalg.eigh(hinv)
+            propcov = (ev * np.clip(ew, 1e-12, None)) @ ev.T
+            samples, cmode, _ = adaptive_metropolis(
+                lambda x: -logpost_emb(x, **kw), res.x,
+                sec.mcmc_num, sec.mcmc_gamma, propcov_ini=propcov)
+            nburn = sec.mcmc_num // 2
+            sam = samples[nburn:, :nbas][
+                :: max(1, (sec.mcmc_num - nburn) // max(1, sec.nsam or 100))]
+            fit_sam = np.zeros((sam.shape[0], aw_full_width))
+            fit_sam[:, keep] = sam
+            self.fit_sam = fit_sam
+            xopt = cmode
+        elif sec.merr_sampler == "bfgs":
+            res = minimize(lambda x: -logpost_emb(x, **kw), params_ini,
+                           method="BFGS", options={"gtol": 1e-3})
+            xopt = res.x
+        else:
+            raise ValueError(
+                f"merr_sampler must be 'bfgs' or 'mcmc', got "
+                f"{sec.merr_sampler!r}")
+        coeffs = xopt[:nbas]
+        sig = xopt[nbas:]
         sig_all = np.zeros(nbas)
         if sec.merr_mult:
             sig_all[ind_embed] = np.abs(coeffs[ind_embed]) * sig

@@ -48,6 +48,39 @@ def test_dataframe_tools_errors(tmp_path):
     fig = dt.plot_agreement("Energy", "Training", mode="Linear",
                             fname=str(tmp_path / "agree.png"))
     assert (tmp_path / "agree.png").exists()
+    dt.plot_agreement("Force", "Training", mode="Distribution",
+                      fname=str(tmp_path / "dist.png"))
+    assert (tmp_path / "dist.png").exists()
+    with pytest.raises(ValueError, match="mode"):
+        dt.plot_agreement("Force", "Training", mode="Scatter")
+
+
+def test_dataframe_tools_peratom_and_tsne(tmp_path):
+    from fitsnap_tpu.tools.dataframe_tools import DataframeTools
+
+    # config 1: 1 atom (3 force rows), config 2: 2 atoms (6 force rows)
+    rng = np.random.default_rng(0)
+    n = 11
+    df = pd.DataFrame({
+        "d0": rng.normal(size=n),
+        "d1": rng.normal(size=n),
+        "truths": [1.0] + [0.1] * 3 + [2.0] + [0.2] * 6,
+        "preds": [1.5] + [0.1] * 3 + [2.5] + [0.2] * 6,
+        "weights": [1.0] * n,
+        "Row_Type": ["Energy"] + ["Force"] * 3 + ["Energy"] + ["Force"] * 6,
+        "Groups": ["g1"] * 4 + ["g2"] * 7,
+        "Testing": [False] * n,
+    })
+    dt = DataframeTools(df)
+    assert list(dt.natoms_per_config()) == [1, 2]
+    # per-atom errors: mean(|0.5|, |0.5|) = 0.5
+    assert dt.calc_error("Energy", "Training") == pytest.approx(0.5)
+    # total-energy errors: mean(|0.5*1|, |0.5*2|) = 0.75
+    assert dt.calc_error("Energy", "Training", peratom=False) == \
+        pytest.approx(0.75)
+    emb = dt.plot_tsne(2, perplexity=3.0, fname=str(tmp_path / "tsne.png"))
+    assert emb.shape == (n, 2)
+    assert (tmp_path / "tsne.png").exists()
 
 
 def test_nn_tools_errors(tmp_path):
