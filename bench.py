@@ -165,7 +165,9 @@ def main():
     # VERDICT r1 asked for a driver-tracked artifact behind the README's
     # rows/s claim.  Opt out with FITSNAP_TPU_BENCH_WBE=0; failures keep
     # the primary Ta metric intact.
-    if os.environ.get("FITSNAP_TPU_BENCH_WBE", "1") != "0":
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    if os.environ.get("FITSNAP_TPU_BENCH_WBE", "1" if on_tpu else "0") != "0":
         try:
             from benchmarks.wbe_tpu import run as wbe_run
             wbe = wbe_run()

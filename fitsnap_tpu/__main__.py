@@ -11,13 +11,27 @@ def main():
     from fitsnap_tpu.fitsnap import FitSnap
     from fitsnap_tpu.io.screen import screen
 
+    from fitsnap_tpu.utils.graceful import GracefulStop
+
     fs = FitSnap(arglist=sys.argv[1:])
-    fs.scrape_configs(delete_scraper=True)
-    fs.process_configs(delete_data=False)
-    fs.perform_fit()
-    fs.write_output()
+    # SIGINT/SIGTERM stop the run at the next stage boundary (reference
+    # GracefulKiller, parallel_tools.py:74-92); completed stages still
+    # report their timings, and a finished fit is still written out.
+    with GracefulStop(screen=screen) as stop:
+        stages = [lambda: fs.scrape_configs(delete_scraper=True),
+                  lambda: fs.process_configs(delete_data=False),
+                  fs.perform_fit,
+                  fs.write_output]
+        for stage in stages:
+            stage()
+            if stop:
+                screen("stopping on signal; partial run — outputs for "
+                       "unfinished stages were not written")
+                break
     for stage, dt in fs.timings.items():
         screen(f"{stage:>8}: {dt:8.3f} s")
+    if stop:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -52,9 +52,13 @@ def _model_eval(fs, pos, cell, types_str):
     B, G = descriptors_with_jacobian(
         jnp.asarray(disp), jnp.asarray(types[jidx]), jnp.asarray(smask),
         jnp.asarray(types), params_snap)
+    # multi_element_option=2 routes each atom to its element's subnetwork;
+    # option 1 uses one shared network (types mapped to 0)
+    net_elem = (types if sol.net.multi_element_option == 2
+                else np.zeros_like(types))
     batch = {
         "B": B[None], "G": G[None],
-        "types": jnp.zeros((1, N), jnp.int32),
+        "types": jnp.asarray(net_elem)[None],
         "real": jnp.ones((1, N), bool),
         "nat": jnp.full((1,), N, jnp.int32),
         "jidx": jnp.asarray(jidx)[None],
@@ -79,6 +83,96 @@ def test_nn_fd_forces(nn_fixture):
             ep, _ = _model_eval(fs, pp, cell, types_str)
             pm = pos.copy()
             pm[a, c] -= h
+            em, _ = _model_eval(fs, pm, cell, types_str)
+            fd = -(ep - em) / (2 * h)
+            errs.append(abs(fd - f0[a, c]))
+    errs = np.array(errs)
+    assert errs.mean() < 1e-5, errs
+    assert errs.max() < 1e-4, errs
+
+
+@pytest.fixture(scope="module")
+def wbe_nn_fixture(tmp_path_factory):
+    """Multi-element NN: per-element subnetworks (multi_element_option=2)
+    trained on mixed W/Be configs (reference examples/WBe_PyTorch_NN)."""
+    import os
+
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    wbe_json = TA_EXAMPLE.parent / "WBe_PRB2019" / "JSON"
+    settings = {
+        "BISPECTRUM": {"numTypes": 2, "twojmax": "6 6",
+                       "rcutfac": 4.812302818, "rfac0": 0.99363,
+                       "rmin0": 0.0, "wj": "1.0 0.9590493408",
+                       "radelem": "0.5 0.417932464", "type": "W Be",
+                       "bzeroflag": 1},
+        "CALCULATOR": {"calculator": "LAMMPSSNAP", "energy": 1, "force": 1,
+                       "stress": 0, "nonlinear": 1},
+        "SOLVER": {"solver": "PYTORCH"},
+        "SCRAPER": {"scraper": "JSON"},
+        "PATH": {"dataPath": str(wbe_json)},
+        "OUTFILE": {"metrics": "m.md", "potential": "wbe_nn"},
+        "REFERENCE": {"units": "metal", "atom_style": "atomic",
+                      "pair_style": "hybrid/overlay zero 10.0 zbl 4.0 4.8",
+                      "pair_coeff1": "* * zero",
+                      "pair_coeff2": "1 1 zbl 74 74",
+                      "pair_coeff3": "1 2 zbl 74 4",
+                      "pair_coeff4": "2 2 zbl 4 4"},
+        "PYTORCH": {"layer_sizes": "num_desc 8 8 1",
+                    "learning_rate": 1e-3, "num_epochs": 2,
+                    "batch_size": 2, "energy_weight": 1e-2,
+                    "force_weight": 1.0, "manual_seed_flag": 1,
+                    "multi_element_option": 2},
+        "GROUPS": {"group_sections": "name training_size testing_size "
+                   "eweight fweight vweight",
+                   "group_types": "str float float float float float",
+                   "random_sampling": 0,
+                   # 4 mixed 54-atom W/Be configs; int counts parse only
+                   # these files out of the 1,798 in the group
+                   "DFT_MD_300K": "4 0 100 1 1e-8"},
+    }
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("wbe_nn"))
+    try:
+        fs = FitSnap(settings, arglist=["--overwrite"])
+        fs.scrape_configs()
+        assert len(fs.data) == 4
+        assert {"W", "Be"} <= set(fs.data[0]["AtomTypes"])
+        fs.process_configs()
+        fs.perform_fit()
+        return fs
+    finally:
+        os.chdir(cwd)
+
+
+def test_wbe_nn_trains_multi_element(wbe_nn_fixture):
+    fs = wbe_nn_fixture
+    assert np.isfinite([h[1] for h in fs.solver.history]).all()
+    # option 2: one subnetwork stack per element
+    w0, _ = fs.solver.params[0]
+    assert w0.shape[0] == 2
+
+
+def test_wbe_nn_fd_forces(wbe_nn_fixture):
+    """FD forces through the full pipeline for a 2-element config exercise
+    the per-element subnetworks + chain rule (reference
+    tests/test_pytorch.py test_fd_multi_elem)."""
+    fs = wbe_nn_fixture
+    d = fs.data[0]
+    pos = np.asarray(d["Positions"], float)
+    cell = np.asarray(d["Lattice"], float)
+    types_str = d["AtomTypes"]
+    # one W atom and one Be atom
+    i_w = types_str.index("W")
+    i_be = types_str.index("Be")
+    _, f0 = _model_eval(fs, pos, cell, types_str)
+    h = 1e-5
+    errs = []
+    for a in (i_w, i_be):
+        for c in range(3):
+            pp = pos.copy(); pp[a, c] += h
+            pm = pos.copy(); pm[a, c] -= h
+            ep, _ = _model_eval(fs, pp, cell, types_str)
             em, _ = _model_eval(fs, pm, cell, types_str)
             fd = -(ep - em) / (2 * h)
             errs.append(abs(fd - f0[a, c]))

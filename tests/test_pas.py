@@ -100,12 +100,8 @@ def test_pas_excludes_energy_fitting():
         Config(bad, arglist=["--overwrite"])
 
 
-def test_nn_on_ace_trains(tmp_path, monkeypatch):
-    """NN solver on ACE descriptors (reference Ta_PACE_PyTorch_NN)."""
-    monkeypatch.chdir(tmp_path)
-    from fitsnap_tpu.fitsnap import FitSnap
-
-    settings = {
+def _ace_nn_settings():
+    return {
         "ACE": {"numTypes": 1, "ranks": "1 2 3", "lmax": "1 2 2",
                 "nmax": "2 1 1", "nmaxbase": 2, "rcutfac": 4.604694451,
                 "lambda": 3.059235105, "type": "Ta", "bzeroflag": 1},
@@ -126,12 +122,86 @@ def test_nn_on_ace_trains(tmp_path, monkeypatch):
                    "group_types": "str float float float float float",
                    "Displaced_BCC": "0.7 0.3 100 1 1.00E-08"},
     }
-    fs = FitSnap(settings, arglist=["--overwrite"])
-    fs.scrape_configs()
-    fs.data = fs.data[:6]
-    fs.process_configs()
-    fs.perform_fit()
+
+
+@pytest.fixture(scope="module")
+def ace_nn_fixture(tmp_path_factory):
+    """NN solver trained on ACE descriptors (reference Ta_PACE_PyTorch_NN)."""
+    import os
+
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("ace_nn"))
+    try:
+        fs = FitSnap(_ace_nn_settings(), arglist=["--overwrite"])
+        fs.scrape_configs()
+        fs.data = fs.data[:6]
+        fs.process_configs()
+        fs.perform_fit()
+        return fs
+    finally:
+        os.chdir(cwd)
+
+
+def test_nn_on_ace_trains(ace_nn_fixture):
+    fs = ace_nn_fixture
     assert len(fs.solver.history) == 2
     assert np.isfinite([h[1] for h in fs.solver.history]).all()
     fs.solver.error_analysis()
     assert ("*ALL", "Training") in fs.solver.errors.index
+
+
+def _ace_model_eval(fs, pos, cell, types_str):
+    """Energy + forces for one config through the full ACE pipeline."""
+    import jax.numpy as jnp
+
+    from fitsnap_tpu.calculators.ace import _within_rcut
+    from fitsnap_tpu.ops.ace import ace_descriptors_with_jacobian
+    from fitsnap_tpu.ops.neighbors import host_neighbors
+
+    sol, calc = fs.solver, fs.calculator
+    N = len(pos)
+    types = np.array([calc.type_mapping[t] - 1 for t in types_str], np.int32)
+    disp, jidx, mask, _ = host_neighbors(pos, cell, N, calc.cutoff)
+    smask = mask & np.asarray(
+        _within_rcut(jnp.asarray(disp), jnp.asarray(jidx),
+                     jnp.asarray(types), calc.plan))
+    B, G = ace_descriptors_with_jacobian(
+        jnp.asarray(disp), jnp.asarray(types[jidx]), jnp.asarray(smask),
+        jnp.asarray(types), calc.plan)
+    batch = {
+        "B": B[None], "G": G[None],
+        "types": jnp.asarray(types)[None],
+        "real": jnp.ones((1, N), bool),
+        "nat": jnp.full((1,), N, jnp.int32),
+        "jidx": jnp.asarray(jidx)[None],
+    }
+    e_per_atom, forces = sol._forward_batch(sol.params, batch)
+    return float(e_per_atom[0]) * N, np.asarray(forces[0])
+
+
+def test_nn_on_ace_fd_forces(ace_nn_fixture):
+    """-dE/dx by central differences through the FULL ACE pipeline must
+    match the model's dgrad-contraction forces (reference
+    tests/test_pytorch.py test_fd_ace_single_elem)."""
+    fs = ace_nn_fixture
+    d = fs.data[0]
+    pos = np.asarray(d["Positions"], float)
+    cell = np.asarray(d["Lattice"], float)
+    types_str = d["AtomTypes"]
+    _, f0 = _ace_model_eval(fs, pos, cell, types_str)
+    h = 1e-5
+    errs = []
+    for a in range(min(2, len(pos))):
+        for c in range(3):
+            pp = pos.copy(); pp[a, c] += h
+            pm = pos.copy(); pm[a, c] -= h
+            ep, _ = _ace_model_eval(fs, pp, cell, types_str)
+            em, _ = _ace_model_eval(fs, pm, cell, types_str)
+            fd = -(ep - em) / (2 * h)
+            errs.append(abs(fd - f0[a, c]))
+    errs = np.array(errs)
+    # float64: far tighter than the reference CI tolerance (mean<1e-3)
+    assert errs.mean() < 1e-6
+    assert errs.max() < 1e-5

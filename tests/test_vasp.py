@@ -112,7 +112,13 @@ def test_vasp_full_pipeline(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from fitsnap_tpu.fitsnap import FitSnap
 
-    fs = FitSnap(_settings(tmp_path), arglist=["--overwrite"])
+    # The pipeline wiring (OUTCAR scrape -> descriptors -> fit) is what this
+    # test covers; physics parity for the InP chemflag descriptors lives in
+    # the slow-tier golden (test_golden_variants).  twojmax 4 keeps the
+    # 11x216-atom chemflag compute tractable on small CI hosts.
+    settings = _settings(tmp_path)
+    settings["BISPECTRUM"]["twojmax"] = "4 4"
+    fs = FitSnap(settings, arglist=["--overwrite"])
     fs.scrape_configs()
     fs.process_configs()
     fs.perform_fit()
