@@ -141,6 +141,21 @@ def main():
     log(f"energy MAE {mae_e:.6f} (standard 0.112787)  "
         f"force MAE {mae_f:.6f} (standard 0.075758)")
 
+    # XLA-estimated FLOPs of the steady step -> achieved TFLOP/s.  This is
+    # a utilization diagnostic, not the optimization target: the hot path
+    # is HBM-bound (small descriptor GEMMs), so "speed of light" here is
+    # bandwidth, and flops/byte is what the monomial formulation maximizes.
+    flops = 0.0
+    for step, _, batch in runs:
+        try:
+            ca = step._jitted.lower(batch).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops += float(ca.get("flops", 0.0))
+        except Exception:   # noqa: BLE001 - diagnostic only
+            flops = 0.0
+            break
+
     end_to_end = t_scrape + t_pre + t_pack + t_put + t_step
     rows_per_sec = nrows / t_step
     log(f"scrape {t_scrape:.2f}s  preprocess {t_pre:.2f}s  pack {t_pack:.2f}s"
@@ -155,6 +170,8 @@ def main():
         "vs_baseline": round(10.0 / end_to_end, 2),
         "extra": {
             "ta_rows_per_sec": round(rows_per_sec),
+            **({"ta_step_tflops_per_sec": round(flops / t_step / 1e12, 3)}
+               if flops else {}),
             "ta_energy_mae": round(mae_e, 6),
             "ta_force_mae": round(mae_f, 6),
             "ta_coeff_maxdiff": float(dcoeff),

@@ -348,6 +348,7 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
         Atb = sum(np.asarray(x, np.float64) for x in b_parts)
         return AtA, Atb, nrows
 
+    wrapped._jitted = jitted   # exposed for XLA cost analysis (bench.py)
     return wrapped
 
 
