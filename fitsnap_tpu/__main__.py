@@ -18,16 +18,20 @@ def main():
     # GracefulKiller, parallel_tools.py:74-92); completed stages still
     # report their timings, and a finished fit is still written out.
     with GracefulStop(screen=screen) as stop:
-        stages = [lambda: fs.scrape_configs(delete_scraper=True),
-                  lambda: fs.process_configs(delete_data=False),
-                  fs.perform_fit,
-                  fs.write_output]
-        for stage in stages:
-            stage()
-            if stop:
-                screen("stopping on signal; partial run — outputs for "
-                       "unfinished stages were not written")
-                break
+        fs.scrape_configs(delete_scraper=True)
+        if not stop:
+            fs.process_configs(delete_data=False)
+        skipped_fit = bool(stop)
+        if not skipped_fit:
+            # a signal arriving DURING the fit lets it finish, and a
+            # finished fit is always written out
+            fs.perform_fit()
+            fs.write_output()
+    if skipped_fit:
+        screen("stopped on signal before fitting; no outputs were written")
+    elif stop:
+        screen("caught signal during fitting; the fit completed and "
+               "outputs were written")
     for stage, dt in fs.timings.items():
         screen(f"{stage:>8}: {dt:8.3f} s")
     if stop:

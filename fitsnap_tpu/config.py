@@ -88,14 +88,19 @@ class _Reader:
         return conv(self._cp.get(section, key, fallback=fallback))
 
     def items(self, section):
+        """Section-local (key, value) pairs.  [DEFAULT] keys leak into every
+        configparser section proxy; dynamic-key sections (GROUPS group
+        names, REFERENCE pair_coeff lines) must not see them."""
         if section not in self._cp:
             return []
-        return list(self._cp.items(section))
+        d = self._cp.defaults()
+        return [(k, v) for k, v in self._cp.items(section) if k not in d]
 
     def keys(self, section):
         if section not in self._cp:
             return []
-        return list(self._cp[section].keys())
+        d = self._cp.defaults()
+        return [k for k in self._cp[section] if k not in d]
 
     def consume(self, section, key):
         """Mark a dynamically-named key (group name, pair_coeff*) as valid."""
@@ -112,8 +117,11 @@ class _Reader:
                     f"Unknown section [{sec}] in input; known sections: "
                     f"{sorted(known_sections)}")
             used = self._consumed.get(sec, set())
+            # configparser exposes [DEFAULT] keys through every section
+            # proxy; they are not section-local variables
+            defaults = set(self._cp.defaults())
             for key in self._cp[sec]:
-                if key not in used:
+                if key not in used and key not in defaults:
                     raise ValueError(
                         f"Found unmatched variable in {sec} section "
                         f"of input: {key}")
@@ -487,7 +495,11 @@ class SolverSection:
         self.merr_mult = r.get(self.name, "merr_mult", "0", "bool")
         self.merr_method = r.get(self.name, "merr_method", "abc")
         self.merr_cfs = r.get(self.name, "merr_cfs", "all")
-        self.merr_sampler = r.get(self.name, "merr_sampler", "bfgs")
+        self.merr_sampler = r.get(self.name, "merr_sampler", "bfgs").lower()
+        if self.merr_sampler not in ("bfgs", "mcmc"):
+            raise ValueError(
+                f"merr_sampler must be 'bfgs' or 'mcmc', got "
+                f"{self.merr_sampler!r}")
 
 
 class RidgeSection:
@@ -677,7 +689,6 @@ class Config:
         sections are actually selected (`sections.py:93-96`); a typo'd
         `twojmax` must not silently fit garbage.
         """
-        r.validate(self._KNOWN_SECTIONS)
         calcname = self.sections["CALCULATOR"].calculator.upper()
         want = self._CALC_SECTION.get(calcname)
         if want is None:
@@ -696,6 +707,10 @@ class Config:
             if r.has_section(sec) and solver != sec:
                 raise ValueError(
                     f"{sec} section is in input, but not set as solver")
+        # the cross-section checks above run FIRST so e.g. an [ACE] section
+        # under calculator=LAMMPSSNAP gets the dedicated message, not a
+        # generic unmatched-variable error for its never-read keys
+        r.validate(self._KNOWN_SECTIONS)
 
     def has_section(self, name):
         return name in self.sections

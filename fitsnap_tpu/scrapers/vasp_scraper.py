@@ -195,8 +195,19 @@ class VaspScraper(Scraper):
                               for p in glob(
                                   path.join(json_dir, f"{stem}_*.json")))
                     if m]
-                cached = [path.join(json_dir, name)
-                          for _, name in sorted(matches)]
+                # a step can have both 'stem_N.json' and
+                # 'stem_N_<label>.json' on disk (a rerun changed the
+                # convergence label without removing the old file); load
+                # ONE per step, preferring the unlabeled (converged) parse
+                by_step = {}
+                for step, name in sorted(matches):
+                    labeled = bool(unconv_label) and name.endswith(
+                        f"_{unconv_label}.json")
+                    if step not in by_step or (
+                            not labeled and by_step[step][1]):
+                        by_step[step] = (name, labeled)
+                cached = [path.join(json_dir, by_step[s][0])
+                          for s in sorted(by_step)]
                 if cached and not ignore_jsons:
                     for cf in cached:
                         with open(cf) as fp:

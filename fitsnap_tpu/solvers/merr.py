@@ -77,6 +77,13 @@ class MERR(Solver):
         kw = dict(aw=aw, bw=bw, ind_sig=ind_embed, datavar=nugget,
                   multiplicative=bool(sec.merr_mult),
                   merr_method=sec.merr_method)
+        if sec.merr_sampler not in ("bfgs", "mcmc"):
+            raise ValueError(
+                f"merr_sampler must be 'bfgs' or 'mcmc', got "
+                f"{sec.merr_sampler!r}")
+        res = minimize(lambda x: -logpost_emb(x, **kw), params_ini,
+                       method="BFGS", options={"gtol": 1e-3})
+        xopt = res.x
         if sec.merr_sampler == "mcmc":
             # Sample the embedded posterior with adaptive Metropolis and take
             # the MAP sample (reference `solvers/lreg.py:127-175`; there the
@@ -87,8 +94,6 @@ class MERR(Solver):
             # cond~1e16) never mixes into the mode (the reference left the
             # same BFGS pre-step commented out at lreg.py:159).
             from fitsnap_tpu.solvers.linear import adaptive_metropolis
-            res = minimize(lambda x: -logpost_emb(x, **kw), params_ini,
-                           method="BFGS", options={"gtol": 1e-3})
             hinv = 0.5 * (res.hess_inv + res.hess_inv.T)
             ew, ev = np.linalg.eigh(hinv)
             propcov = (ev * np.clip(ew, 1e-12, None)) @ ev.T
@@ -102,14 +107,6 @@ class MERR(Solver):
             fit_sam[:, keep] = sam
             self.fit_sam = fit_sam
             xopt = cmode
-        elif sec.merr_sampler == "bfgs":
-            res = minimize(lambda x: -logpost_emb(x, **kw), params_ini,
-                           method="BFGS", options={"gtol": 1e-3})
-            xopt = res.x
-        else:
-            raise ValueError(
-                f"merr_sampler must be 'bfgs' or 'mcmc', got "
-                f"{sec.merr_sampler!r}")
         coeffs = xopt[:nbas]
         sig = xopt[nbas:]
         sig_all = np.zeros(nbas)

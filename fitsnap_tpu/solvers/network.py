@@ -367,9 +367,11 @@ class NetworkSolver(Solver):
         device holds a slice of the minibatch; residual sums and count
         normalizers are psummed so every device sees the GLOBAL loss value
         — exactly the single-device loss, independent of the device count.
-        Gradients of this loss are per-device partial sums; the training
-        step psums them (SURVEY §7.7: gradient psum over ICI replaces the
-        reference's single-process limitation, `docs/source/Pytorch.rst:260`).
+        shard_map transposes these psums into a psummed cotangent, so each
+        device's gradient is ndev x the global gradient; the training step
+        pmeans them back to the exact single-device gradient (SURVEY §7.7:
+        gradient reduction over ICI replaces the reference's single-process
+        limitation, `docs/source/Pytorch.rst:260`).
         """
         ps = ((lambda x: jax.lax.psum(x, axis)) if axis is not None
               else (lambda x: x))
@@ -476,6 +478,11 @@ class NetworkSolver(Solver):
 
         def _plan_bsz(n):
             """Minibatch size: with dp, a multiple of the device count."""
+            if ndev > 1 and bs < ndev:
+                raise ValueError(
+                    f"batch_size={bs} < devices={ndev}: data-parallel "
+                    "training needs at least one example per device per "
+                    "minibatch — raise batch_size or lower --devices")
             bsz = min(bs, n)
             if ndev > 1:
                 bsz = ndev * max(1, bsz // ndev)
@@ -536,10 +543,14 @@ class NetworkSolver(Solver):
                     batch = {k: v[idx] for k, v in bufs[_bi].items()}
                     loss, grads = jax.value_and_grad(loss_fn)(p, batch)
                     if ndev > 1:
-                        # loss is already global (psummed inside _loss);
-                        # grads are this device's partial sums
+                        # the forward psums inside _loss make each device's
+                        # loss the GLOBAL value, and shard_map transposes
+                        # those psums into a psummed cotangent — so each
+                        # device's grad arrives already ndev-scaled; pmean
+                        # (not psum) recovers exactly the single-device
+                        # gradient (verified against a 1-device run)
                         grads = jax.tree.map(
-                            lambda g: jax.lax.psum(g, "dp"), grads)
+                            lambda g: jax.lax.pmean(g, "dp"), grads)
                     updates, s = opt.update(grads, s)
                     return (optax.apply_updates(p, updates), s), loss
 

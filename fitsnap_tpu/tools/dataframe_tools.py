@@ -72,6 +72,11 @@ class DataframeTools:
         preds = np.asarray(sel["preds"], float)
         if quantity == "Energy" and not peratom and len(sel):
             natoms = self._energy_natoms(sel)
+            if (natoms == 0).any():
+                raise ValueError(
+                    "peratom=False rescaling needs atom counts, which are "
+                    "recovered from Force rows — this dataframe has none "
+                    "(energy-only fit). Use peratom=True.")
             truths = truths * natoms
             preds = preds * natoms
         return sel, truths, preds

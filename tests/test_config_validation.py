@@ -84,3 +84,29 @@ def test_group_names_are_free_keys():
     """Arbitrary group names in [GROUPS] must not trip validation."""
     c = Config(str(TA_IN), ["--overwrite"])
     assert "Displaced_A15" in c.sections["GROUPS"].group_table
+
+
+def test_default_section_keys_not_flagged(tmp_path):
+    """configparser exposes [DEFAULT] keys through every section proxy;
+    they must not be reported as unmatched section variables."""
+    ok = tmp_path / "ok.in"
+    ok.write_text("[DEFAULT]\nshared_flag = 1\n" + _ta_text())
+    Config(str(ok), ["--overwrite"])  # must not raise
+
+
+def test_extra_calc_section_gets_dedicated_error(tmp_path):
+    """With calculator=LAMMPSSNAP and a stray [ACE] section present, the
+    cross-section message (not a generic unmatched-variable error for the
+    never-read ACE keys) must surface."""
+    bad = tmp_path / "bad.in"
+    bad.write_text(_ta_text() + "\n[ACE]\nranks = 1 2\n")
+    with pytest.raises(ValueError, match="ACE section is in input"):
+        Config(str(bad), ["--overwrite"])
+
+
+def test_bad_merr_sampler_rejected_at_config_time(tmp_path):
+    bad = tmp_path / "bad.in"
+    bad.write_text(_ta_text().replace("solver = SVD",
+                                      "solver = MERR\nmerr_sampler = nuts"))
+    with pytest.raises(ValueError, match="merr_sampler"):
+        Config(str(bad), ["--overwrite"])

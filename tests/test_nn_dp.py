@@ -72,3 +72,12 @@ def test_dp3_training_with_validation_matches():
     s1 = _train(1, batch_size=3, all_train=False)
     s3 = _train(3, batch_size=3, all_train=False)
     _assert_same(s1, s3)
+
+
+def test_batch_size_below_device_count_rejected():
+    """batch_size < devices cannot give each device an example per step;
+    it must fail loudly instead of silently inflating the minibatch."""
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_size"):
+        _train(4, batch_size=2, all_train=True)

@@ -83,6 +83,27 @@ def test_dataframe_tools_peratom_and_tsne(tmp_path):
     assert (tmp_path / "tsne.png").exists()
 
 
+def test_dataframe_tools_peratom_false_requires_force_rows():
+    """Energy-only fits have no Force rows to recover atom counts from;
+    peratom=False must fail loudly instead of returning a zeroed error."""
+    from fitsnap_tpu.tools.dataframe_tools import DataframeTools
+
+    df = pd.DataFrame({
+        "d0": [0.1, 0.2],
+        "truths": [1.0, 2.0],
+        "preds": [1.5, 2.5],
+        "weights": [1.0, 1.0],
+        "Row_Type": ["Energy", "Energy"],
+        "Groups": ["g1", "g1"],
+        "Testing": [False, False],
+    })
+    dt = DataframeTools(df)
+    # per-atom view still works
+    assert dt.calc_error("Energy", "Training") == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="Force rows"):
+        dt.calc_error("Energy", "Training", peratom=False)
+
+
 def test_nn_tools_errors(tmp_path):
     from fitsnap_tpu.tools.nn_tools import NNTools
 

@@ -95,6 +95,21 @@ def test_vasp_json_cache_roundtrip(tmp_path, monkeypatch):
         np.testing.assert_allclose(a["Forces"], b["Forces"], atol=1e-12)
 
 
+def test_vasp_cache_dedupes_relabeled_steps(tmp_path, monkeypatch):
+    """A step with BOTH 'stem_N.json' and 'stem_N_UNCONVERGED.json' on disk
+    (a rerun changed the convergence label without removing the old file)
+    must load once, preferring the unlabeled parse."""
+    import shutil
+
+    monkeypatch.chdir(tmp_path)
+    first = _scrape(tmp_path)
+    cached = sorted((tmp_path / "vJSON" / "Defects_aP").glob("*.json"))
+    src = cached[0]
+    shutil.copy(src, src.with_name(src.stem + "_UNCONVERGED.json"))
+    second = _scrape(tmp_path)
+    assert len(second) == len(first)
+
+
 def test_trainshift_shifts_energy(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     base = _scrape(tmp_path, extra={"GROUPS": {"vasp_ignore_jsons": 1}})
