@@ -40,6 +40,10 @@ def parse_cmdline(arglist=None):
                         help="path to FitSNAP input script")
     parser.add_argument("--verbose", "-v", action="store_true", default=False)
     parser.add_argument("--lammpslog", "-l", action="store_true", default=False)
+    parser.add_argument("--printlammps", "-pl", action="store_true",
+                        default=False)
+    parser.add_argument("--lammps_noexceptions", action="store_true",
+                        default=False)
     parser.add_argument("--nofit", "-nf", dest="perform_fit",
                         action="store_false", default=True,
                         help="compute descriptors only, no fit")

@@ -35,9 +35,10 @@ def init_output(args):
     _state["screen"] = bool(getattr(args, "screen", True)
                             or getattr(args, "nscreen", False)
                             or getattr(args, "pscreen", False))
-    if getattr(args, "lammpslog", False):
-        warn("--lammpslog: fitsnap_tpu has no embedded LAMMPS; "
-             "flag has no effect")
+    for flag in ("lammpslog", "printlammps", "lammps_noexceptions"):
+        if getattr(args, flag, False):
+            warn(f"--{flag}: fitsnap_tpu has no embedded LAMMPS; "
+                 "flag has no effect")
 
 
 def screen(*args, **kw):
