@@ -53,6 +53,28 @@ class XyzScraper(Scraper):
             import random
             random.seed(groups.random_seed or None)
 
+        # frame-offset caching (reference xyz_scraper.py:288-376): indexing
+        # a many-GB .xyz means reading every line once; save_group_scrape
+        # writes the per-group byte offsets, read_group_scrape reuses them
+        sc = self.config.sections["SCRAPER"]
+        infile_dir = self.config.sections["PATH"].infile_directory
+        save_file = read_file = None
+        cached_offsets = {}
+        if sc.save_group_scrape != "None" and sc.read_group_scrape != "None":
+            raise RuntimeError(
+                "Do not set both reading and writing of group_scrape")
+        if sc.save_group_scrape != "None":
+            save_file = path.join(infile_dir, sc.save_group_scrape)
+            open(save_file, "w").close()
+        if sc.read_group_scrape != "None":
+            read_file = path.join(infile_dir, sc.read_group_scrape)
+            with open(read_file) as fp:
+                for line in fp:
+                    parts = line.split()
+                    if parts:
+                        cached_offsets[parts[0]] = [int(x)
+                                                    for x in parts[1:]]
+
         for key, row in self.group_table.items():
             training_size = row.get("training_size", row.get("size"))
             size_type = group_dict.get(
@@ -69,19 +91,26 @@ class XyzScraper(Scraper):
             if fname is None:
                 raise FileNotFoundError(f"{key}.xyz not found in {datapath}")
 
-            # index frame byte offsets
-            offsets = []
-            with open(fname) as fp:
-                while True:
-                    pos = fp.tell()
-                    line = fp.readline()
-                    if not line.strip():
-                        break
-                    n = int(line)
-                    offsets.append(pos)
-                    fp.readline()
-                    for _ in range(n):
+            if key in cached_offsets:
+                offsets = list(cached_offsets[key])
+            else:
+                # index frame byte offsets
+                offsets = []
+                with open(fname) as fp:
+                    while True:
+                        pos = fp.tell()
+                        line = fp.readline()
+                        if not line.strip():
+                            break
+                        n = int(line)
+                        offsets.append(pos)
                         fp.readline()
+                        for _ in range(n):
+                            fp.readline()
+            if save_file is not None:
+                with open(save_file, "a") as fp:
+                    fp.write(" ".join([key] + [str(o) for o in offsets])
+                             + "\n")
             if groups.random_sampling:
                 import random
                 random.shuffle(offsets)

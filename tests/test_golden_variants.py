@@ -33,6 +33,35 @@ def test_ta_xyz_golden(tmp_path, monkeypatch):
     assert np.abs(fs.solver.fit - std).max() < 1e-6
 
 
+def test_xyz_group_scrape_cache_roundtrip(tmp_path, monkeypatch):
+    """save_group_scrape writes the per-group frame byte offsets;
+    read_group_scrape reuses them and reproduces the identical scrape
+    (reference xyz_scraper.py:288-376)."""
+    monkeypatch.chdir(tmp_path)
+    from fitsnap_tpu.config import Config
+    from fitsnap_tpu.scrapers.xyz_scraper import XyzScraper
+
+    ex = REFERENCE / "examples/Ta_XYZ"
+
+    def scrape(extra):
+        cfg = Config(str(ex / "Ta-example.in"),
+                     ["--overwrite", "--keyword", "SCRAPER", *extra,
+                      "--keyword", "PATH", "dataPath",
+                      str(ex / "XYZ")])
+        sc = XyzScraper("XYZ", cfg)
+        sc.scrape_groups()
+        sc.divvy_up_configs()
+        return sc.scrape_configs()
+
+    first = scrape(["save_group_scrape", str(tmp_path / "offsets.dat")])
+    assert (tmp_path / "offsets.dat").exists()
+    second = scrape(["read_group_scrape", str(tmp_path / "offsets.dat")])
+    assert len(second) == len(first) > 0
+    for a, b in zip(first, second):
+        assert a["Energy"] == b["Energy"]
+        np.testing.assert_array_equal(a["Positions"], b["Positions"])
+
+
 @pytest.mark.slow
 def test_ta_quadratic_golden(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
