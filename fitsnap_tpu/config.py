@@ -52,7 +52,11 @@ def parse_cmdline(arglist=None):
     parser.add_argument("--tarball", "-tb", action="store_true", default=False)
     parser.add_argument("--keyword", "-k", nargs=3, metavar=("GROUP", "NAME", "VALUE"),
                         dest="keyword_replacements", action="append", default=[])
-    parser.add_argument("--screen", action="store_true", default=True)
+    # matches the reference's actual behavior (io/input.py store_false on
+    # dest screen): passing --screen SILENCES per-rank screen output —
+    # their docs say the opposite, but scripts target the code
+    parser.add_argument("--screen", "-sc", action="store_false",
+                        default=True, dest="screen")
     parser.add_argument("--nscreen", action="store_true", default=False)
     parser.add_argument("--pscreen", action="store_true", default=False)
     parser.add_argument("--log", default=None)
