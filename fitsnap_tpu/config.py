@@ -153,8 +153,6 @@ class BispectrumSection:
         self.wselfallflag = r.get(self.name, "wselfallflag", "0", "bool")
         self.bzeroflag = r.get(self.name, "bzeroflag", "0", "bool")
         self.quadraticflag = r.get(self.name, "quadraticflag", "0", "bool")
-        if self.chemflag and self.quadraticflag:
-            raise ValueError("Quadratic chemsnap not implemented.")
         self.bikflag = r.get(self.name, "bikflag", "0", "bool")
         self.switchinnerflag = r.get(self.name, "switchinnerflag", "0", "bool")
         if self.switchinnerflag:
@@ -192,13 +190,6 @@ class BispectrumSection:
                             i += 1
                             self.blist.append([i, j1, j2, j])
                             blank.append(prefac)
-            if self.quadraticflag:
-                sl = len(self.blist) // (atype + 1)
-                seg = self.blist[sl * atype: sl * (atype + 1)]
-                for (a, b) in combinations_with_replacement(seg, r=2):
-                    quad = a[1:] + b[1:]
-                    blank.append(1.0 if all(
-                        ind <= int(self.twojmax[atype]) for ind in quad) else 0.0)
         if self.chemflag:
             if int(min(self.twojmax)) != int(max(self.twojmax)):
                 raise RuntimeError(
@@ -206,14 +197,27 @@ class BispectrumSection:
             self.blist = self.blist * self.numtypes ** 3
             blank = blank * self.numtypes ** 3
         if self.quadraticflag:
+            # quadratic combinations over the full (possibly chem-extended)
+            # per-type descriptor segment; the quad prefac is the product of
+            # the factors' prefacs.  (The reference extends blank2J with the
+            # base-width combinations BEFORE the chem replication,
+            # `bispectrum.py:92-116`, which makes its blist/blank2J lengths
+            # inconsistent when both flags are set — its final reshape
+            # crashes, so this combination defines, rather than matches, the
+            # file layout.)
             per_type = len(self.blist) // self.numtypes
-            new = []
+            new, newb = [], []
             for atype in range(self.numtypes):
                 seg = self.blist[per_type * atype: per_type * (atype + 1)]
+                segb = blank[per_type * atype: per_type * (atype + 1)]
                 new += seg
+                newb += segb
                 new += [[i, a, b] for i, (a, b) in enumerate(
                     combinations_with_replacement(seg, r=2), start=len(seg))]
+                newb += [pa * pb for pa, pb in
+                         combinations_with_replacement(segb, r=2)]
             self.blist = new
+            blank = newb
         self.ncoeff = len(self.blist) // self.numtypes
         blank = np.asarray(blank, dtype=float)
         if not self.bzeroflag:

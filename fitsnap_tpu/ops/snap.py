@@ -543,28 +543,23 @@ def descriptors_with_jacobian(disp, jelem, mask, ielem, p: SnapParams):
         # quadratic product rule on the small dBdD — materializing the
         # (A, next, 2U) quadratic jacobian would be GBs at twojmax=8
         dBdD = jnp.einsum("awu,caku->awkc", dBdu, J)
+        B = Bbase
         if plan.quadraticflag:
-            iq1 = jnp.asarray(plan.iq1)
-            iq2 = jnp.asarray(plan.iq2)
-            qc = jnp.asarray(plan.qcoef, Bbase.dtype)
-            q = Bbase[:, iq1] * Bbase[:, iq2] * qc
-            dq = qc[None, :, None, None] * (
-                Bbase[:, iq1, None, None] * dBdD[:, iq2]
-                + Bbase[:, iq2, None, None] * dBdD[:, iq1])
-            B = jnp.concatenate([Bbase, q], axis=1)
-            dBdD = jnp.concatenate([dBdD, dq], axis=1)
-        else:
-            B = Bbase
+            B, dBdD = _quad_chain(B, dBdD, plan)
     else:
         # chemflag path: the dbidrj identity generalizes with element-channel
         # pairing — z-lists per ordered channel pair (ea, eb), and the three
         # jacobian layers of block (e1,e2,e3) read z^(e1,e2), z^(e3,e2),
         # z^(e3,e1) into channels e3, e1, e2 respectively.
         B, dBduc = _chem_b_and_dbdu(ut, plan)       # (A,W),(A,W,nchem,2U)
-        if plan.quadraticflag:
-            raise NotImplementedError("quadratic chemsnap")
         oh = jax.nn.one_hot(jelem, nchem, dtype=disp.dtype)   # (A, K, nchem)
         dBdD = jnp.einsum("awnu,akn,caku->awkc", dBduc, oh, J)
+        if plan.quadraticflag:
+            # quadratic products over the full chem-extended vector — the
+            # layout the reference's blist implies (`bispectrum.py:112-118`;
+            # its blank2J generation breaks on this combination, so the
+            # reference CLI cannot actually run it)
+            B, dBdD = _quad_chain(B, dBdD, plan)
     return B, dBdD
 
 
@@ -673,13 +668,20 @@ def _bspec_rows(ut, plan: SnapPlan):
     return B
 
 
-def _quad_chain(B, dBdu, plan: SnapPlan):
-    """Quadratic extension of descriptors and jacobians (product rule)."""
+def _quad_chain(B, dBdx, plan: SnapPlan):
+    """Quadratic extension of descriptors and jacobians (product rule).
+
+    B: (A, W); dBdx: (A, W, ...) jacobian with any trailing axes
+    (e.g. (A, W, K, 3) pair gradients or (A, W, 2U) utot tangents).
+    """
     iq1 = jnp.asarray(plan.iq1)
     iq2 = jnp.asarray(plan.iq2)
     qc = jnp.asarray(plan.qcoef, B.dtype)
     q = B[:, iq1] * B[:, iq2] * qc
-    dq = qc[None, :, None] * (B[:, iq1, None] * dBdu[:, iq2]
-                              + B[:, iq2, None] * dBdu[:, iq1])
-    return (jnp.concatenate([B, q], -1),
-            jnp.concatenate([dBdu, dq], 1))
+    tail = (None,) * (dBdx.ndim - 2)
+    qcx = qc[(None, slice(None)) + tail]
+    b1 = B[(slice(None), iq1) + tail]
+    b2 = B[(slice(None), iq2) + tail]
+    dq = qcx * (b1 * dBdx[:, iq2] + b2 * dBdx[:, iq1])
+    return (jnp.concatenate([B, q], 1),
+            jnp.concatenate([dBdx, dq], 1))

@@ -66,6 +66,7 @@ def test_rotation_invariance(plan):
     assert np.abs(B1).max() > 0.1  # not trivially zero
 
 
+@pytest.mark.heavy
 def test_jacobian_matches_autodiff(plan):
     from fitsnap_tpu.ops.ace import (ace_a_basis, ace_b_from_a,
                                      ace_descriptors_with_jacobian)

@@ -141,6 +141,7 @@ def _read_acecoeff(path):
     return np.asarray(vals)
 
 
+@pytest.mark.heavy
 def test_ta_pace_golden_fit(tmp_path, monkeypatch):
     """End-to-end Ta_PACE golden fit vs the committed standard.
 

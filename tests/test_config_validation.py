@@ -71,13 +71,27 @@ def test_calculator_section_mismatch(tmp_path):
         Config(str(bad), ["--overwrite"])
 
 
-def test_quadratic_chemflag_rejected_at_config_time(tmp_path):
-    bad = tmp_path / "bad.in"
-    bad.write_text(_ta_text()
+def test_quadratic_chemflag_blist_consistent(tmp_path):
+    """quadraticflag x chemflag: blist/blank2J/ncoeff stay consistent.
+
+    (The reference's own `_generate_b_list` crashes on this combination —
+    blank2J is extended with base-width combinations before the chem
+    replication, `bispectrum.py:92-116` — so the layout here is defined by
+    the kernel, which computes quadratic products over the full
+    chem-extended vector; see `ops/snap.py` quad+chem oracle test.)
+    """
+    inp = tmp_path / "qc.in"
+    inp.write_text(_ta_text()
                    .replace("quadraticflag = 0", "quadraticflag = 1")
                    .replace("chemflag = 0", "chemflag = 1"))
-    with pytest.raises(ValueError, match="[Qq]uadratic chemsnap"):
-        Config(str(bad), ["--overwrite"])
+    c = Config(str(inp), ["--overwrite"])
+    sec = c.sections["BISPECTRUM"]
+    ntrip = 30                       # twojmax=6 base triples (31 cols = +offset)
+    w = ntrip * 1 ** 3               # single-type Ta: chem width == base
+    assert sec.ncoeff == w + w * (w + 1) // 2
+    assert len(sec.blist) == sec.numtypes * sec.ncoeff
+    assert len(sec.blank2J) == sec.numtypes * (
+        sec.ncoeff + (0 if sec.bzeroflag else 1))
 
 
 def test_group_names_are_free_keys():

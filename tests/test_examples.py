@@ -48,6 +48,7 @@ def test_loop_over_fits(tmp_path, monkeypatch, capsys):
     assert "twojmax=2" in out and "twojmax=4" in out
 
 
+@pytest.mark.heavy
 def test_transpose_trick(tmp_path, monkeypatch, capsys):
     out = _run("transpose_trick.py", ["--groups", "Liquid", "Surface"],
                tmp_path, monkeypatch, capsys)
@@ -56,6 +57,7 @@ def test_transpose_trick(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "Ta_pot.snapcoeff").exists()
 
 
+@pytest.mark.heavy
 def test_bayesian_active_learning(tmp_path, monkeypatch, capsys):
     out = _run("bayesian_active_learning.py",
                ["--iterations", "2", "--batch", "1", "--max-unlabeled", "5",
@@ -74,6 +76,7 @@ def test_genetic_algorithm(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "GA_pot.snapcoeff").exists()
 
 
+@pytest.mark.heavy
 def test_multichip(tmp_path, monkeypatch, capsys):
     import jax
 

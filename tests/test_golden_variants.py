@@ -25,6 +25,7 @@ def _run(example_in):
     return fs
 
 
+@pytest.mark.heavy
 def test_ta_xyz_golden(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     ex = REFERENCE / "examples/Ta_XYZ"

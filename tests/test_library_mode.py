@@ -65,6 +65,7 @@ def test_dict_settings_and_process_single(tmp_path, monkeypatch):
     assert np.isfinite(a).all()
 
 
+@pytest.mark.heavy
 def test_loop_over_fits_hyperparam_mutation(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from fitsnap_tpu.fitsnap import FitSnap

@@ -67,6 +67,7 @@ def _model_eval(fs, pos, cell, types_str):
     return float(e_per_atom[0]) * N, np.asarray(forces[0])
 
 
+@pytest.mark.heavy
 def test_nn_fd_forces(nn_fixture):
     fs, data = nn_fixture
     d = data[0]

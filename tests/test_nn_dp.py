@@ -58,6 +58,7 @@ def _assert_same(s1, s2):
         assert np.abs(a - b).max() < 1e-4
 
 
+@pytest.mark.heavy
 def test_dp8_training_matches_single_device():
     """8-way DP (1 example/device/step) == single device, no val split."""
     import jax
@@ -67,6 +68,7 @@ def test_dp8_training_matches_single_device():
     _assert_same(s1, s8)
 
 
+@pytest.mark.heavy
 def test_dp3_training_with_validation_matches():
     """3-way DP with a live validation split (6 train / 3 val configs)."""
     s1 = _train(1, batch_size=3, all_train=False)

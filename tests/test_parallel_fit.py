@@ -7,6 +7,7 @@ import pytest
 from tests.util import TA_EXAMPLE
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
@@ -25,6 +26,7 @@ def test_entry_compiles():
 
 
 @pytest.mark.skipif(not TA_EXAMPLE.exists(), reason="no reference examples")
+@pytest.mark.heavy
 def test_sharded_fit_matches_host_svd():
     """8-way sharded normal-equation fit == host SVD fit on a Ta subset."""
     import jax

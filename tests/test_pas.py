@@ -181,6 +181,7 @@ def _ace_model_eval(fs, pos, cell, types_str):
     return float(e_per_atom[0]) * N, np.asarray(forces[0])
 
 
+@pytest.mark.heavy
 def test_nn_on_ace_fd_forces(ace_nn_fixture):
     """-dE/dx by central differences through the FULL ACE pipeline must
     match the model's dgrad-contraction forces (reference

@@ -14,6 +14,7 @@ pytestmark = pytest.mark.skipif(not TA_EXAMPLE.exists(),
                                 reason="reference examples not available")
 
 
+@pytest.mark.heavy
 def test_ta_linear_golden(tmp_path, monkeypatch):
     from fitsnap_tpu.fitsnap import FitSnap
 

@@ -96,6 +96,7 @@ def test_descriptor_consistency(ta_rows):
     assert np.abs(B2 - r["B"]).max() < 1e-11
 
 
+@pytest.mark.heavy
 def test_jacobian_vs_autodiff(ta_rows):
     """y-list analytic dB/dD == reverse-mode autodiff through the kernel."""
     import jax
@@ -121,6 +122,7 @@ def test_jacobian_vs_autodiff(ta_rows):
         assert np.abs(Gad[:, a] - Gy[a].transpose(0, 1, 2)).max() < 1e-10
 
 
+@pytest.mark.heavy
 def test_chemflag_jacobian_vs_autodiff():
     """Chem (EME) channel-paired y-list == reverse-mode autodiff."""
     import jax
@@ -128,7 +130,9 @@ def test_chemflag_jacobian_vs_autodiff():
     from fitsnap_tpu.ops.snap import (SnapParams, atom_descriptors,
                                       descriptors_with_jacobian)
 
-    plan = build_snap_plan(twojmax=4, nelements=2, chemflag=True,
+    # twojmax 3 (odd triangle structure) keeps the jacrev compile small;
+    # real-width chem physics is covered by the InP slow-tier golden
+    plan = build_snap_plan(twojmax=3, nelements=2, chemflag=True,
                            bnormflag=True, bzeroflag=True, wselfallflag=True)
     p = SnapParams(plan=plan, rcutfac=4.6, rfac0=0.99, rmin0=0.0,
                    switchflag=True, switchinnerflag=False,
@@ -140,6 +144,39 @@ def test_chemflag_jacobian_vs_autodiff():
     jelem = jnp.asarray(rng.integers(0, 2, (A, K)))
     ielem = jnp.asarray(rng.integers(0, 2, (A,)))
     B, G = descriptors_with_jacobian(disp, jelem, mask, ielem, p)
+    B2 = atom_descriptors(disp, jelem, mask, ielem, p)
+    assert float(jnp.abs(B - B2).max()) < 1e-12
+    Gad = np.asarray(jax.jacrev(
+        lambda d: atom_descriptors(d, jelem, mask, ielem, p).sum(0))(disp))
+    G = np.asarray(G)
+    for a in range(A):
+        assert np.abs(Gad[:, a] - G[a]).max() < 1e-12
+
+
+def test_quadratic_chemflag_jacobian_vs_autodiff():
+    """quadraticflag x chemflag: product-rule jacobian over the full
+    chem-extended vector == reverse-mode autodiff.  (A combination the
+    reference cannot run: its blank2J generation crashes on it.)"""
+    import jax
+    from fitsnap_tpu.ops.cg import build_snap_plan
+    from fitsnap_tpu.ops.snap import (SnapParams, atom_descriptors,
+                                      descriptors_with_jacobian)
+
+    plan = build_snap_plan(twojmax=2, nelements=2, chemflag=True,
+                           bzeroflag=True, quadraticflag=True)
+    p = SnapParams(plan=plan, rcutfac=4.6, rfac0=0.99, rmin0=0.0,
+                   switchflag=True, switchinnerflag=False,
+                   wj=np.array([1.0, 0.93]), radelem=np.array([0.5, 0.45]))
+    rng = np.random.default_rng(5)
+    A, K = 3, 6
+    disp = jnp.asarray(rng.normal(size=(A, K, 3)) * 1.2
+                       + np.array([2.0, 0, 0]))
+    mask = jnp.ones((A, K), bool)
+    jelem = jnp.asarray(rng.integers(0, 2, (A, K)))
+    ielem = jnp.asarray(rng.integers(0, 2, (A,)))
+    B, G = descriptors_with_jacobian(disp, jelem, mask, ielem, p)
+    W = plan.nb_base
+    assert B.shape[1] == W + W * (W + 1) // 2 == plan.ncoeff
     B2 = atom_descriptors(disp, jelem, mask, ielem, p)
     assert float(jnp.abs(B - B2).max()) < 1e-12
     Gad = np.asarray(jax.jacrev(

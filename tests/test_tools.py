@@ -127,6 +127,7 @@ def test_nn_tools_errors(tmp_path):
     assert f["test"]["mae"] == pytest.approx(0.1 / 3)
 
 
+@pytest.mark.heavy
 def test_fd_harness(tmp_path, monkeypatch):
     """TestTools.finite_difference on a tiny NN fit (reference
     tools/test_tools.py usage pattern)."""

@@ -123,6 +123,7 @@ def test_trainshift_shifts_energy(tmp_path, monkeypatch):
         assert b["Energy"] == pytest.approx(expected, rel=1e-12)
 
 
+@pytest.mark.heavy
 def test_vasp_full_pipeline(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from fitsnap_tpu.fitsnap import FitSnap
@@ -135,6 +136,7 @@ def test_vasp_full_pipeline(tmp_path, monkeypatch):
     settings["BISPECTRUM"]["twojmax"] = "4 4"
     fs = FitSnap(settings, arglist=["--overwrite"])
     fs.scrape_configs()
+    fs.data = fs.data[:3]     # wiring test: 3 of the 11 216-atom steps
     fs.process_configs()
     fs.perform_fit()
     fit = np.asarray(fs.solver.fit)
