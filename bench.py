@@ -198,6 +198,33 @@ def main():
             log(f"WBe benchmark failed: {e!r}")
             result["extra"]["wbe_error"] = repr(e)
 
+    # Ta_PyTorch_NN epoch time (reference baseline: ~0.2 s/epoch CPU,
+    # docs/source/Pytorch.rst:248-256).  The whole training is one jitted
+    # scan over epochs; s/epoch below amortizes the compile over the run
+    # (conservative — steady-state epochs are cheaper).
+    if os.environ.get("FITSNAP_TPU_BENCH_NN", "1" if on_tpu else "0") != "0":
+        try:
+            nn_in = "/root/reference/examples/Ta_PyTorch_NN/Ta-example.in"
+            fs_nn = FitSnap(nn_in, arglist=[
+                "--overwrite", "--keyword", "PYTORCH", "num_epochs", "100"])
+            fs_nn.scrape_configs()
+            fs_nn.process_configs(delete_data=False)
+            t0 = time.time()
+            fs_nn.perform_fit()
+            t_fit = time.time() - t0
+            epochs = len(fs_nn.solver.history)
+            result["extra"].update({
+                "nn_epochs": epochs,
+                "nn_s_per_epoch": round(t_fit / max(epochs, 1), 4),
+                "nn_final_train_loss": round(fs_nn.solver.history[-1][1], 6),
+            })
+            log(f"NN: {epochs} epochs in {t_fit:.1f}s "
+                f"({t_fit / max(epochs, 1):.3f} s/epoch; "
+                f"reference ~0.2 s/epoch CPU)")
+        except Exception as e:  # noqa: BLE001 - bench must still report Ta
+            log(f"NN benchmark failed: {e!r}")
+            result["extra"]["nn_error"] = repr(e)
+
     print(json.dumps(result))
 
 

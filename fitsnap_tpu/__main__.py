@@ -14,6 +14,13 @@ def main():
     from fitsnap_tpu.utils.graceful import GracefulStop
 
     fs = FitSnap(arglist=sys.argv[1:])
+    # --jaxprof DIR: device-level tracing (the reference's profiling stops
+    # at wall-clock stage timers, parallel_tools.py:290-306; here every
+    # compute stage is an XLA program, so the profiler sees kernels/fusions)
+    prof_dir = fs.config.args.jaxprof
+    if prof_dir:
+        import jax
+        jax.profiler.start_trace(prof_dir)
     # SIGINT/SIGTERM stop the run at the next stage boundary (reference
     # GracefulKiller, parallel_tools.py:74-92); completed stages still
     # report their timings, and a finished fit is still written out.
@@ -27,6 +34,10 @@ def main():
             # finished fit is always written out
             fs.perform_fit()
             fs.write_output()
+    if prof_dir:
+        import jax
+        jax.profiler.stop_trace()
+        screen(f"profiler trace written to {prof_dir}")
     if skipped_fit:
         screen("stopped on signal before fitting; no outputs were written")
     elif stop:

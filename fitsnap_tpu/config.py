@@ -65,6 +65,9 @@ def parse_cmdline(arglist=None):
                         help="compute dtype override: float32|float64")
     parser.add_argument("--devices", type=int, default=None,
                         help="number of devices to shard the config batch over")
+    parser.add_argument("--jaxprof", default=None, metavar="DIR",
+                        help="capture a JAX/XLA profiler trace of the run "
+                             "into DIR (view with tensorboard or xprof)")
     return parser.parse_args(arglist if arglist else None)
 
 

@@ -55,3 +55,20 @@ def test_lammpslog_warns(tmp_path, monkeypatch, capsys):
     args = parse_cmdline(["--lammpslog", "dummy.in"])
     init_output(args)
     assert "lammpslog" in capsys.readouterr().out
+
+
+def test_jaxprof_writes_trace(tmp_path, monkeypatch):
+    """--jaxprof DIR captures an XLA profiler trace of the CLI run."""
+    import runpy
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    inp = tmp_path / "prof.in"
+    from fitsnap_tpu.tools.config_convert import settings_dict_to_input
+    settings_dict_to_input(_settings(), str(inp))
+    monkeypatch.setattr(sys, "argv", [
+        "fitsnap_tpu", str(inp), "--overwrite",
+        "--jaxprof", str(tmp_path / "trace")])
+    runpy.run_module("fitsnap_tpu", run_name="__main__")
+    traces = list((tmp_path / "trace").rglob("*.xplane.pb"))
+    assert traces, "no xplane trace captured"
