@@ -617,3 +617,130 @@ def pack_batch(packed_configs, a_pad, k_pad, n_pad, dtype=np.float32,
     else:
         out = tuple(x[None] for x in out)
     return out
+
+
+def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
+                          accum_dtype=None):
+    """Atom-axis ("context") parallelism: ONE config sharded over the mesh.
+
+    The dp path above shards the *config* axis — useless when a single
+    configuration's (natoms, maxneigh) tensors exceed one chip.  Here the
+    atom axis is sharded instead (SURVEY §5's long-context analog; the
+    reference has no equivalent — a config must fit inside one LAMMPS
+    rank):
+
+      - positions/types are replicated (N x 3 is tiny next to the per-pair
+        tensors); each device computes descriptors + per-pair jacobians for
+        its natoms/ndev slice only;
+      - the energy row and virial rows reduce with a `psum`;
+      - force rows scatter across shards (a neighbor's row usually lives in
+        another shard), so each shard materializes its additive contribution
+        to the full (natoms, width, 3) block and a `psum_scatter` returns
+        every shard exactly the fully-summed rows of its own atoms — the
+        halo exchange of this domain, expressed as one collective;
+      - each shard folds its rows into the normal equations; a final psum
+        replicates (AtA, Atb, nrows).
+
+    Returns a jitted fn(disp, jidx, mask, types, natoms, cell, energy,
+    forces, stress6, eweight, fweight, vweight) -> (AtA, Atb, nrows) where
+    disp/jidx/mask are (A_pad, K, ...) with A_pad divisible by the mesh
+    size, jidx holds GLOBAL atom indices, and truths are already
+    reference-potential-subtracted and eshifted (host responsibility, as in
+    `calculators/snap.py:host_preprocess`).
+    """
+    axis = axis or mesh.axis_names[0]
+    sh = P(axis)
+    rp = P()
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(sh, sh, sh, rp, rp, rp, rp, rp, rp, rp, rp, rp),
+             out_specs=(rp, rp, rp))
+    def rows(disp, jidx, mask, types, natoms, cell,
+             energy, forces, stress6, eweight, fweight, vweight):
+        Afull = types.shape[0]
+        Ash = disp.shape[0]
+        dtp = disp.dtype
+        off = jax.lax.axis_index(axis) * Ash
+        first = (jax.lax.axis_index(axis) == 0)
+        types_l = jax.lax.dynamic_slice_in_dim(types, off, Ash)
+        gidx = off + jnp.arange(Ash)
+        real = (gidx < natoms).astype(dtp)
+
+        radelem = jnp.asarray(params.radelem, dtp)
+        jelem = types[jidx]
+        rcutij = (radelem[types_l][:, None] + radelem[jelem]) * params.rcutfac
+        r2 = jnp.sum(disp * disp, -1)
+        smask = mask & (r2 < rcutij * rcutij)
+
+        B, G = descriptors_with_jacobian(disp, jelem, smask, types_l, params)
+        B = B * real[:, None]
+        G = G * real[:, None, None, None]
+
+        oh = jax.nn.one_hot(types_l, numtypes, dtype=dtp) * real[:, None]
+        nat_safe = jnp.maximum(natoms, 1).astype(dtp)
+        e_row = jax.lax.psum((oh.T @ B).reshape(-1), axis) / nat_safe
+
+        GT = jnp.einsum("at,awkc->takwc", oh, G)
+        W0 = e_row.shape[0]
+        oj = jax.nn.one_hot(jidx, Afull, dtype=dtp)       # global columns
+        scat = jnp.einsum("ikn,tikwc->ntwc", oj, GT).reshape(Afull, W0, 3)
+        rowsum = GT.sum(axis=2).transpose(1, 0, 2, 3).reshape(Ash, W0, 3)
+        zero = jnp.zeros((), off.dtype)
+        contrib = scat - jax.lax.dynamic_update_slice(
+            jnp.zeros_like(scat), rowsum, (off, zero, zero))
+        # fully-summed force rows of THIS shard's atoms (halo exchange)
+        f_blk = -jax.lax.psum_scatter(contrib, axis,
+                                      scatter_dimension=0, tiled=True)
+        f_rows = f_blk.transpose(0, 2, 1).reshape(Ash * 3, W0)
+
+        vol = cell[0, 0] * cell[1, 1] * cell[2, 2]
+        pa = jnp.array([0, 1, 2, 1, 0, 0])
+        pb = jnp.array([0, 1, 2, 2, 2, 1])
+        dm = disp * smask[..., None].astype(dtp)
+        vir = -jnp.einsum("ikx,tikwy->xytw", dm, GT).reshape(3, 3, W0)
+        v_rows = jax.lax.psum(vir[pa, pb], axis) * (1.6021765e6 / vol)
+
+        if not params.plan.bzeroflag:
+            ncoeff = W0 // numtypes
+            counts = jax.lax.psum(oh.sum(0), axis) / nat_safe
+            e_row = jnp.concatenate(
+                [counts[:, None], e_row.reshape(numtypes, ncoeff)],
+                axis=1).reshape(-1)
+            f_rows = jnp.concatenate(
+                [jnp.zeros((Ash * 3, numtypes, 1), dtp),
+                 f_rows.reshape(Ash * 3, numtypes, ncoeff)], axis=2) \
+                .reshape(Ash * 3, -1)
+            v_rows = jnp.concatenate(
+                [jnp.zeros((6, numtypes, 1), dtp),
+                 v_rows.reshape(6, numtypes, ncoeff)], axis=2).reshape(6, -1)
+
+        W = e_row.shape[0]
+        adt = accum_dtype or dtp
+        AtA = jnp.zeros((W, W), adt)
+        Atb = jnp.zeros((W,), adt)
+        nrows = jnp.zeros((), dtp)
+        once = first.astype(adt)       # replicated rows count on shard 0 only
+        if flags["energy"]:
+            we = eweight.astype(adt) * once
+            e64 = e_row.astype(adt)
+            AtA += we ** 2 * jnp.outer(e64, e64)
+            Atb += we ** 2 * e64 * (energy / nat_safe).astype(adt)
+            nrows += first.astype(dtp)
+        if flags["force"]:
+            wf = (fweight * jnp.repeat(real, 3)).astype(adt)
+            fw = f_rows.astype(adt) * wf[:, None]
+            b_f = jax.lax.dynamic_slice(forces, (off, zero), (Ash, 3))
+            AtA += fw.T @ fw
+            Atb += fw.T @ (wf * b_f.reshape(-1).astype(adt))
+            nrows += 3 * real.sum()
+        if flags["stress"]:
+            wv = vweight.astype(adt) * once
+            v64 = v_rows.astype(adt)
+            AtA += wv ** 2 * (v64.T @ v64)
+            Atb += wv ** 2 * (v64.T @ stress6.astype(adt))
+            nrows += 6 * first.astype(dtp)
+        return (jax.lax.psum(AtA, axis), jax.lax.psum(Atb, axis),
+                jax.lax.psum(nrows, axis))
+
+    return rows

@@ -1,0 +1,86 @@
+"""Atom-axis ("context") parallelism: one config sharded over the mesh.
+
+`build_spatial_rows_fn` must reproduce the single-device
+`config_normal_contrib` normal equations exactly: energy/virial rows psum,
+force rows psum_scatter (the halo exchange), padding atoms inert.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.util import TA_EXAMPLE, load_config_normalized
+
+pytestmark = pytest.mark.skipif(not TA_EXAMPLE.exists(),
+                                reason="reference examples not available")
+
+RCUTFAC = 4.67637
+
+
+def _padded_config(a_pad):
+    from fitsnap_tpu.ops.neighbors import host_neighbors
+
+    cfg = load_config_normalized(TA_EXAMPLE / "JSON/Displaced_A15/A15_1.json")
+    pos, cell = cfg["Positions"], cfg["CellCols"]
+    n = len(pos)
+    disp, jidx, mask, kmax = host_neighbors(pos, cell, n, RCUTFAC)
+    assert a_pad >= n
+    pad = a_pad - n
+    disp = np.concatenate([disp, np.zeros((pad,) + disp.shape[1:])])
+    jidx = np.concatenate([jidx, np.zeros((pad, jidx.shape[1]), jidx.dtype)])
+    mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), bool)])
+    types = np.zeros(a_pad, np.int32)
+    rng = np.random.default_rng(0)
+    truths = dict(
+        energy=np.float64(cfg["Energy"]) if "Energy" in cfg else np.float64(
+            rng.normal()),
+        forces=np.concatenate([np.asarray(cfg["Forces"], float),
+                               np.zeros((pad, 3))]),
+        stress6=rng.normal(size=6),
+    )
+    return disp, jidx, mask, types, n, cell, truths
+
+
+def _params():
+    from fitsnap_tpu.ops.cg import build_snap_plan
+    from fitsnap_tpu.ops.snap import SnapParams
+
+    plan = build_snap_plan(twojmax=6, nelements=1, bzeroflag=False)
+    return SnapParams(plan=plan, rcutfac=RCUTFAC, rfac0=0.99363, rmin0=0.0,
+                      switchflag=True, switchinnerflag=False,
+                      wj=np.array([1.0]), radelem=np.array([0.5]))
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("a_pad", [64, 72])
+def test_spatial_rows_match_single_device(a_pad):
+    """8-way atom-sharded normal equations == single-device (a_pad=72
+    additionally exercises padding atoms spread across shards)."""
+    from fitsnap_tpu.parallel.fit import (build_spatial_rows_fn,
+                                          config_normal_contrib, make_mesh)
+
+    assert len(jax.devices()) >= 8
+    disp, jidx, mask, types, natoms, cell, truths = _padded_config(a_pad)
+    p = _params()
+    flags = {"energy": True, "force": True, "stress": True}
+    ew, fw, vw = 2.5, 1.3, 0.7
+
+    args = (jnp.asarray(disp), jnp.asarray(jidx), jnp.asarray(mask),
+            jnp.asarray(types), jnp.asarray(natoms),
+            jnp.asarray(cell), jnp.asarray(truths["energy"]),
+            jnp.asarray(truths["forces"]), jnp.asarray(truths["stress6"]),
+            jnp.asarray(ew), jnp.asarray(fw), jnp.asarray(vw))
+
+    mesh = make_mesh(8)
+    spatial = build_spatial_rows_fn(p, 1, flags, mesh)
+    AtA_s, Atb_s, n_s = spatial(*args)
+
+    AtA_r, Atb_r, n_r = config_normal_contrib(
+        *args, params=p, numtypes=1, flags=flags)
+
+    assert float(n_s) == float(n_r) == 1 + 3 * natoms + 6
+    scale = np.abs(np.asarray(AtA_r)).max()
+    assert np.abs(np.asarray(AtA_s) - np.asarray(AtA_r)).max() / scale < 1e-12
+    bscale = np.abs(np.asarray(Atb_r)).max()
+    assert np.abs(np.asarray(Atb_s) - np.asarray(Atb_r)).max() / bscale < 1e-12
