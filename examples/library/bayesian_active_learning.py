@@ -114,5 +114,10 @@ for it in range(cli.iterations):
     if not unlabeled:
         break
 
+# final refit so the written potential includes the last acquisition
+fs.data = training
+fs.process_configs()
+fs.perform_fit()
 fs.write_output()
-print("final model written: AL_pot.snapcoeff / AL_pot.snapparam")
+print(f"final model (trained on {len(training)} structures) written: "
+      "AL_pot.snapcoeff / AL_pot.snapparam")

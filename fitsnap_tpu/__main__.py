@@ -24,20 +24,24 @@ def main():
     # SIGINT/SIGTERM stop the run at the next stage boundary (reference
     # GracefulKiller, parallel_tools.py:74-92); completed stages still
     # report their timings, and a finished fit is still written out.
-    with GracefulStop(screen=screen) as stop:
-        fs.scrape_configs(delete_scraper=True)
-        if not stop:
-            fs.process_configs(delete_data=False)
-        skipped_fit = bool(stop)
-        if not skipped_fit:
-            # a signal arriving DURING the fit lets it finish, and a
-            # finished fit is always written out
-            fs.perform_fit()
-            fs.write_output()
-    if prof_dir:
-        import jax
-        jax.profiler.stop_trace()
-        screen(f"profiler trace written to {prof_dir}")
+    try:
+        with GracefulStop(screen=screen) as stop:
+            fs.scrape_configs(delete_scraper=True)
+            if not stop:
+                fs.process_configs(delete_data=False)
+            skipped_fit = bool(stop)
+            if not skipped_fit:
+                # a signal arriving DURING the fit lets it finish, and a
+                # finished fit is always written out
+                fs.perform_fit()
+                fs.write_output()
+    finally:
+        # flush the trace even when the run raises or a second signal
+        # aborts it — failing runs are the ones worth profiling
+        if prof_dir:
+            import jax
+            jax.profiler.stop_trace()
+            screen(f"profiler trace written to {prof_dir}")
     if skipped_fit:
         screen("stopped on signal before fitting; no outputs were written")
     elif stop:

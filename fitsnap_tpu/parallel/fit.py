@@ -646,7 +646,10 @@ def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
     disp/jidx/mask are (A_pad, K, ...) with A_pad divisible by the mesh
     size, jidx holds GLOBAL atom indices, and truths are already
     reference-potential-subtracted and eshifted (host responsibility, as in
-    `calculators/snap.py:host_preprocess`).
+    `calculators/snap.py:host_preprocess`).  Unlike
+    `config_normal_contrib`, there is no refspec or residual-refinement
+    (`coeff`) mode here — keep the two row/weight conventions in sync when
+    changing either.
     """
     axis = axis or mesh.axis_names[0]
     sh = P(axis)
@@ -663,6 +666,7 @@ def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
         dtp = disp.dtype
         off = jax.lax.axis_index(axis) * Ash
         first = (jax.lax.axis_index(axis) == 0)
+        zero = jnp.zeros((), off.dtype)
         types_l = jax.lax.dynamic_slice_in_dim(types, off, Ash)
         gidx = off + jnp.arange(Ash)
         real = (gidx < natoms).astype(dtp)
@@ -683,15 +687,34 @@ def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
 
         GT = jnp.einsum("at,awkc->takwc", oh, G)
         W0 = e_row.shape[0]
-        oj = jax.nn.one_hot(jidx, Afull, dtype=dtp)       # global columns
-        scat = jnp.einsum("ikn,tikwc->ntwc", oj, GT).reshape(Afull, W0, 3)
+        # Halo exchange for the force rows, one destination block at a
+        # time: a shard's pairs scatter into any atom's row, but
+        # materializing the full (Afull, W0, 3) buffer per shard would keep
+        # per-device memory O(total atoms).  Instead, for each destination
+        # shard d, segment-sum only the contributions landing in d's block
+        # (out-of-block pairs route to a scrap bin) and psum that
+        # shard-sized block — same total ICI bytes as one psum_scatter,
+        # per-device memory O(Ash).
+        K = disp.shape[1]
+        gt_pairs = GT.transpose(1, 2, 0, 3, 4).reshape(Ash * K, W0, 3)
+        jflat = jidx.reshape(-1)
         rowsum = GT.sum(axis=2).transpose(1, 0, 2, 3).reshape(Ash, W0, 3)
-        zero = jnp.zeros((), off.dtype)
-        contrib = scat - jax.lax.dynamic_update_slice(
-            jnp.zeros_like(scat), rowsum, (off, zero, zero))
-        # fully-summed force rows of THIS shard's atoms (halo exchange)
-        f_blk = -jax.lax.psum_scatter(contrib, axis,
-                                      scatter_dimension=0, tiled=True)
+        my = jax.lax.axis_index(axis)
+        ndev = Afull // Ash
+
+        def exchange(d, acc):
+            lo = (d * Ash).astype(jflat.dtype)
+            seg = jnp.where((jflat >= lo) & (jflat < lo + Ash),
+                            jflat - lo, Ash)              # Ash = scrap bin
+            scat_d = jax.ops.segment_sum(gt_pairs, seg,
+                                         num_segments=Ash + 1)[:Ash]
+            mine = (my == d).astype(dtp)
+            tot = jax.lax.psum(scat_d - mine * rowsum, axis)
+            return acc + mine * tot
+
+        # rowsum * 0: the init carry must already be device-varying for the
+        # collective inside the loop body (plain zeros are 'unvarying')
+        f_blk = -jax.lax.fori_loop(0, ndev, exchange, rowsum * 0.0)
         f_rows = f_blk.transpose(0, 2, 1).reshape(Ash * 3, W0)
 
         vol = cell[0, 0] * cell[1, 1] * cell[2, 2]

@@ -82,18 +82,31 @@ def _vdw(e):
 
 
 def bond_lengths(e1, e2, metal_max=True):
-    """(min, max) estimated bond lengths for the (e1, e2) pair."""
+    """(min, max) estimated bond lengths for the (e1, e2) pair.
+
+    Mirrors the reference's `default_rc` branch-for-branch
+    (`tools/default_ACE_settings.py:23-67`), including its asymmetric
+    handling of metal+nonmetal pairs after alphabetical sorting: when the
+    METAL sorts first (Ta-C), max = ionic(metal) + vdW(nonmetal) and min is
+    scaled by 0.8; when the NONMETAL sorts first (N-W), max falls through
+    to the ionic sum with no 0.8 scaling — so migrating users get the same
+    suggestions the reference script prints.
+    """
+    e1, e2 = sorted((e1, e2))
     ion1, ion2 = IONIC_RADII[e1], IONIC_RADII[e2]
     m1, m2 = e1 in METALS, e2 in METALS
     minb = ion1 + ion2
-    if metal_max and (m1 or m2):
-        minb *= 0.8
-        if m1 and m2:
+    if metal_max:
+        if not m1 and not m2:
+            maxb = _vdw(e1) + _vdw(e2)
+        elif m1 and not m2:
+            maxb = ion1 + _vdw(e2)
+            minb = (ion1 + ion2) * 0.8
+        elif m1 and m2:
             maxb = ion1 + ion2
+            minb = (ion1 + ion2) * 0.8
         else:
-            ion_m = ion1 if m1 else ion2
-            vdw_n = _vdw(e2 if m1 else e1)
-            maxb = ion_m + vdw_n
+            maxb = ion1 + ion2
     else:
         maxb = _vdw(e1) + _vdw(e2)
     return round(minb, 3), round(maxb, 3)

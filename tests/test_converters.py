@@ -147,5 +147,14 @@ def test_ace_defaults():
     mn, mx = bond_lengths("Ta", "Ta")
     assert mn == pytest.approx(0.8 * 2.9, abs=1e-6)
     assert mx == pytest.approx(2.9, abs=1e-6)
+    # reference's asymmetric metal+nonmetal branches after sorting
+    # (default_ACE_settings.py:44-56): N-W (nonmetal first) falls through
+    # to the unscaled ionic sum; Ta-C (metal first) gets ionic+vdW and 0.8
+    mn, mx = bond_lengths("N", "W")
+    assert mn == pytest.approx(0.65 + 1.35, abs=1e-6)
+    assert mx == pytest.approx(0.65 + 1.35, abs=1e-6)
+    mn, mx = bond_lengths("Ta", "C")   # sorted -> (C, Ta): nonmetal first
+    assert (mn, mx) == bond_lengths("C", "Ta")
+    assert mx == pytest.approx(0.7 + 1.45, abs=1e-6)
     with pytest.raises(ValueError):
         default_ace_settings(["P", "In"])
