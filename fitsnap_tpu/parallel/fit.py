@@ -129,7 +129,8 @@ def make_mesh(n_devices=None, devices=None):
 def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
                           energy, forces, stress6, eweight, fweight, vweight,
                           params, numtypes, flags, refspec=None, coeff=None,
-                          with_ata=True, accum_dtype=None):
+                          with_ata=True, accum_dtype=None, kernel=None,
+                          const_mode=None):
     """Weighted normal-equation contribution of ONE padded config.
 
     Returns (AtA (W, W), Atb (W,), nrows scalar).  Padded configs
@@ -137,21 +138,36 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
     by residuals truth - row.coeff — the mixed-precision iterative
     refinement pass (residuals are small, so f32 rows retain full relative
     accuracy where the directly-formed normal equations cannot).
+
+    `kernel(disp, jidx, mask, types) -> (B, G, smask)` overrides the
+    descriptor engine (default: SNAP with radelem pair cutoffs); use
+    `ace_kernel(plan)` for ACE.  `const_mode` controls the constant-offset
+    columns: None derives SNAP's per-type interleave from
+    `params.plan.bzeroflag`; ("ace", nelem) prepends nelem atom-count
+    columns (AceCalculator._assemble layout); False adds none.
     """
     A = disp.shape[0]
     dtp = disp.dtype
-    radelem = jnp.asarray(params.radelem, dtp)
-    rcutij = (radelem[types][:, None] + radelem[types[jidx]]) * params.rcutfac
-    r2 = jnp.sum(disp * disp, -1)
-    smask = mask & (r2 < rcutij * rcutij)
-    jelem = types[jidx]
     real = (jnp.arange(A) < natoms).astype(dtp)
 
-    B, G = descriptors_with_jacobian(disp, jelem, smask, types, params)
+    if kernel is None:
+        radelem = jnp.asarray(params.radelem, dtp)
+        rcutij = (radelem[types][:, None]
+                  + radelem[types[jidx]]) * params.rcutfac
+        r2 = jnp.sum(disp * disp, -1)
+        smask = mask & (r2 < rcutij * rcutij)
+        B, G = descriptors_with_jacobian(disp, types[jidx], smask, types,
+                                         params)
+    else:
+        B, G, smask = kernel(disp, jidx, mask, types)
     B = B * real[:, None]
     G = G * real[:, None, None, None]
 
-    oh = jax.nn.one_hot(types, numtypes, dtype=dtp) * real[:, None]
+    # ACE labels are already element-resolved: one flat block (oh = real)
+    if kernel is None:
+        oh = jax.nn.one_hot(types, numtypes, dtype=dtp) * real[:, None]
+    else:
+        oh = real[:, None]
     nat_safe = jnp.maximum(natoms, 1).astype(dtp)
     e_row = (oh.T @ B).reshape(-1) / nat_safe
 
@@ -169,7 +185,9 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
     vir = -jnp.einsum("ikx,tikwy->xytw", dm, GT).reshape(3, 3, W0)
     v_rows = vir[pa, pb] * (1.6021765e6 / vol)
 
-    if not params.plan.bzeroflag:
+    if const_mode is None:
+        const_mode = False if params.plan.bzeroflag else "snap"
+    if const_mode == "snap":
         # per-type constant column (atom-count fraction on energy rows,
         # zero elsewhere) — `lammps_snap.py:455-464`
         ncoeff = W0 // numtypes
@@ -184,6 +202,16 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
         v_rows = jnp.concatenate(
             [jnp.zeros((6, numtypes, 1), dtp),
              v_rows.reshape(6, numtypes, ncoeff)], axis=2).reshape(6, -1)
+    elif const_mode and const_mode[0] == "ace":
+        # nelem leading atom-count-fraction columns
+        # (calculators/ace.py:_assemble expand)
+        nel = const_mode[1]
+        ohe = jax.nn.one_hot(types, nel, dtype=dtp) * real[:, None]
+        counts = ohe.sum(0) / nat_safe
+        e_row = jnp.concatenate([counts, e_row])
+        f_rows = jnp.concatenate(
+            [jnp.zeros((A * 3, nel), dtp), f_rows], axis=1)
+        v_rows = jnp.concatenate([jnp.zeros((6, nel), dtp), v_rows], axis=1)
 
     if refspec is not None:
         re_, rf_, rv_ = reference_eav(disp, jidx, mask, types, natoms, refspec)
@@ -237,7 +265,8 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
 
 
 def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
-                  neighbors=None, accumulate=False):
+                  neighbors=None, accumulate=False, kernel=None,
+                  const_mode=None, width=None):
     """Jitted sharded 'training step': batch of configs -> coefficients.
 
     Batch arrays have shape (nchunks, per_chunk, ...) with the per-chunk
@@ -263,7 +292,8 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
         accum = jnp.float64 if jax.config.jax_enable_x64 else None
         base = partial(config_normal_contrib, params=params,
                        numtypes=numtypes, flags=flags, refspec=refspec,
-                       accum_dtype=accum)
+                       accum_dtype=accum, kernel=kernel,
+                       const_mode=const_mode)
         if neighbors is None:
             contrib = jax.vmap(base)
         else:
@@ -274,9 +304,8 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
                 return base(disp, jidx, mask, types, natoms, cell, *truths)
             contrib = jax.vmap(one)
 
-        W = numtypes * params.plan.ncoeff
-        if not params.plan.bzeroflag:
-            W += numtypes
+        W = width or (numtypes * params.plan.ncoeff
+                      + (0 if params.plan.bzeroflag else numtypes))
         dtp = batch[0].dtype
 
         def body(carry, chunk):
@@ -315,9 +344,8 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
                              donate_argnums=(0,))
 
         def init_fn():
-            W = numtypes * params.plan.ncoeff
-            if not params.plan.bzeroflag:
-                W += numtypes
+            W = width or (numtypes * params.plan.ncoeff
+                          + (0 if params.plan.bzeroflag else numtypes))
             return (jnp.zeros((W * W,), jnp.float64),
                     jnp.zeros((W,), jnp.float64), jnp.zeros(()))
 
@@ -352,7 +380,8 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
     return wrapped
 
 
-def build_residual_fn(params, numtypes, flags, mesh, refspec=None):
+def build_residual_fn(params, numtypes, flags, mesh, refspec=None,
+                      kernel=None, const_mode=None):
     """Jitted sharded refinement pass: A^T (b - A x), truths through rows.
 
     One or two of these after the direct solve recover near-f64 fit quality
@@ -366,7 +395,8 @@ def build_residual_fn(params, numtypes, flags, mesh, refspec=None):
         def contrib1(*chunk_cols):
             return config_normal_contrib(
                 *chunk_cols, params=params, numtypes=numtypes, flags=flags,
-                refspec=refspec, coeff=coeff, with_ata=False)
+                refspec=refspec, coeff=coeff, with_ata=False,
+                kernel=kernel, const_mode=const_mode)
 
         contrib = jax.vmap(contrib1)
 
@@ -767,3 +797,24 @@ def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
                 jax.lax.psum(nrows, axis))
 
     return rows
+
+
+def ace_kernel(plan):
+    """ACE descriptor kernel for the mesh fit paths.
+
+    Gives `build_step_fn`/`config_normal_contrib` the same multi-chip
+    scale-out for ACE fits that SNAP gets by default (the reference runs
+    both through the same ScaLAPACK machinery).  Pass together with
+    `const_mode=("ace", nelem)` (when bzeroflag=0) and
+    `width=calculator.get_width()`.
+    """
+    from fitsnap_tpu.calculators.ace import _within_rcut
+    from fitsnap_tpu.ops.ace import ace_descriptors_with_jacobian
+
+    def kern(disp, jidx, mask, types):
+        smask = mask & _within_rcut(disp, jidx, types, plan)
+        B, G = ace_descriptors_with_jacobian(disp, types[jidx], smask,
+                                             types, plan)
+        return B, G, smask
+
+    return kern
