@@ -139,7 +139,7 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
     refinement pass (residuals are small, so f32 rows retain full relative
     accuracy where the directly-formed normal equations cannot).
 
-    `kernel(disp, jidx, mask, types) -> (B, G, smask)` overrides the
+    `kernel(disp, jelem, ielem, mask) -> (B, G, smask)` overrides the
     descriptor engine (default: SNAP with radelem pair cutoffs); use
     `ace_kernel(plan)` for ACE.  `const_mode` controls the constant-offset
     columns: None derives SNAP's per-type interleave from
@@ -151,20 +151,14 @@ def config_normal_contrib(disp, jidx, mask, types, natoms, cell,
     real = (jnp.arange(A) < natoms).astype(dtp)
 
     if kernel is None:
-        radelem = jnp.asarray(params.radelem, dtp)
-        rcutij = (radelem[types][:, None]
-                  + radelem[types[jidx]]) * params.rcutfac
-        r2 = jnp.sum(disp * disp, -1)
-        smask = mask & (r2 < rcutij * rcutij)
-        B, G = descriptors_with_jacobian(disp, types[jidx], smask, types,
-                                         params)
-    else:
-        B, G, smask = kernel(disp, jidx, mask, types)
+        kernel = snap_kernel(params)
+    B, G, smask = kernel(disp, types[jidx], types, mask)
     B = B * real[:, None]
     G = G * real[:, None, None, None]
 
-    # ACE labels are already element-resolved: one flat block (oh = real)
-    if kernel is None:
+    # SNAP layout interleaves per-type blocks; ACE labels are already
+    # element-resolved (one flat block)
+    if const_mode is None or const_mode == "snap":
         oh = jax.nn.one_hot(types, numtypes, dtype=dtp) * real[:, None]
     else:
         oh = real[:, None]
@@ -650,7 +644,7 @@ def pack_batch(packed_configs, a_pad, k_pad, n_pad, dtype=np.float32,
 
 
 def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
-                          accum_dtype=None):
+                          accum_dtype=None, kernel=None, const_mode=None):
     """Atom-axis ("context") parallelism: ONE config sharded over the mesh.
 
     The dp path above shards the *config* axis — useless when a single
@@ -701,17 +695,18 @@ def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
         gidx = off + jnp.arange(Ash)
         real = (gidx < natoms).astype(dtp)
 
-        radelem = jnp.asarray(params.radelem, dtp)
-        jelem = types[jidx]
-        rcutij = (radelem[types_l][:, None] + radelem[jelem]) * params.rcutfac
-        r2 = jnp.sum(disp * disp, -1)
-        smask = mask & (r2 < rcutij * rcutij)
-
-        B, G = descriptors_with_jacobian(disp, jelem, smask, types_l, params)
+        kern = snap_kernel(params) if kernel is None else kernel
+        B, G, smask = kern(disp, types[jidx], types_l, mask)
         B = B * real[:, None]
         G = G * real[:, None, None, None]
 
-        oh = jax.nn.one_hot(types_l, numtypes, dtype=dtp) * real[:, None]
+        cmode = const_mode
+        if cmode is None:
+            cmode = False if params.plan.bzeroflag else "snap"
+        if cmode == "snap" or (kernel is None and not cmode):
+            oh = jax.nn.one_hot(types_l, numtypes, dtype=dtp) * real[:, None]
+        else:
+            oh = real[:, None]
         nat_safe = jnp.maximum(natoms, 1).astype(dtp)
         e_row = jax.lax.psum((oh.T @ B).reshape(-1), axis) / nat_safe
 
@@ -754,7 +749,7 @@ def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
         vir = -jnp.einsum("ikx,tikwy->xytw", dm, GT).reshape(3, 3, W0)
         v_rows = jax.lax.psum(vir[pa, pb], axis) * (1.6021765e6 / vol)
 
-        if not params.plan.bzeroflag:
+        if cmode == "snap":
             ncoeff = W0 // numtypes
             counts = jax.lax.psum(oh.sum(0), axis) / nat_safe
             e_row = jnp.concatenate(
@@ -767,6 +762,15 @@ def build_spatial_rows_fn(params, numtypes, flags, mesh, axis=None,
             v_rows = jnp.concatenate(
                 [jnp.zeros((6, numtypes, 1), dtp),
                  v_rows.reshape(6, numtypes, ncoeff)], axis=2).reshape(6, -1)
+        elif cmode and cmode[0] == "ace":
+            nel = cmode[1]
+            ohe = jax.nn.one_hot(types_l, nel, dtype=dtp) * real[:, None]
+            counts = jax.lax.psum(ohe.sum(0), axis) / nat_safe
+            e_row = jnp.concatenate([counts, e_row])
+            f_rows = jnp.concatenate(
+                [jnp.zeros((Ash * 3, nel), dtp), f_rows], axis=1)
+            v_rows = jnp.concatenate([jnp.zeros((6, nel), dtp), v_rows],
+                                     axis=1)
 
         W = e_row.shape[0]
         adt = accum_dtype or dtp
@@ -808,13 +812,28 @@ def ace_kernel(plan):
     `const_mode=("ace", nelem)` (when bzeroflag=0) and
     `width=calculator.get_width()`.
     """
-    from fitsnap_tpu.calculators.ace import _within_rcut
     from fitsnap_tpu.ops.ace import ace_descriptors_with_jacobian
 
-    def kern(disp, jidx, mask, types):
-        smask = mask & _within_rcut(disp, jidx, types, plan)
-        B, G = ace_descriptors_with_jacobian(disp, types[jidx], smask,
-                                             types, plan)
+    def kern(disp, jelem, ielem, mask):
+        rcm = jnp.asarray(plan.rcut, disp.dtype)[ielem[:, None], jelem]
+        r2 = jnp.sum(disp * disp, -1)
+        smask = mask & (r2 < rcm * rcm)
+        B, G = ace_descriptors_with_jacobian(disp, jelem, smask, ielem, plan)
+        return B, G, smask
+
+    return kern
+
+
+def snap_kernel(params):
+    """Default SNAP descriptor kernel (radelem pair cutoffs)."""
+
+    def kern(disp, jelem, ielem, mask):
+        dtp = disp.dtype
+        radelem = jnp.asarray(params.radelem, dtp)
+        rcutij = (radelem[ielem][:, None] + radelem[jelem]) * params.rcutfac
+        r2 = jnp.sum(disp * disp, -1)
+        smask = mask & (r2 < rcutij * rcutij)
+        B, G = descriptors_with_jacobian(disp, jelem, smask, ielem, params)
         return B, G, smask
 
     return kern

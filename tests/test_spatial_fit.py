@@ -84,3 +84,55 @@ def test_spatial_rows_match_single_device(a_pad):
     assert np.abs(np.asarray(AtA_s) - np.asarray(AtA_r)).max() / scale < 1e-12
     bscale = np.abs(np.asarray(Atb_r)).max()
     assert np.abs(np.asarray(Atb_s) - np.asarray(Atb_r)).max() / bscale < 1e-12
+
+
+@pytest.mark.heavy
+def test_spatial_ace_rows_match_single_device():
+    """Atom-sharded ACE normal equations == single-device (kernel override
+    routes the spatial path through ops/ace.py, const_mode through the ACE
+    count-column layout)."""
+    from fitsnap_tpu.fitsnap import FitSnap
+    from fitsnap_tpu.ops.neighbors import host_neighbors
+    from fitsnap_tpu.parallel.fit import (ace_kernel, build_spatial_rows_fn,
+                                          config_normal_contrib, make_mesh)
+
+    assert len(jax.devices()) >= 8
+    fs = FitSnap(str(TA_EXAMPLE.parent / "Ta_PACE" / "Ta.in"),
+                 arglist=["--overwrite"])
+    calc = fs.calculator
+    cutoff = float(np.max(calc.plan.rcut))
+
+    cfg = load_config_normalized(TA_EXAMPLE / "JSON/Displaced_A15/A15_1.json")
+    pos, cell = cfg["Positions"], cfg["CellCols"]
+    n = len(pos)
+    disp, jidx, mask, _ = host_neighbors(pos, cell, n, cutoff)
+    a_pad = 72                      # pad past n=64: padding atoms in shards
+    pad = a_pad - n
+    disp = np.concatenate([disp, np.zeros((pad,) + disp.shape[1:])])
+    jidx = np.concatenate([jidx, np.zeros((pad, jidx.shape[1]), jidx.dtype)])
+    mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), bool)])
+    types = np.zeros(a_pad, np.int32)
+    rng = np.random.default_rng(2)
+    forces = np.concatenate([np.asarray(cfg["Forces"], float),
+                             np.zeros((pad, 3))])
+    args = (jnp.asarray(disp), jnp.asarray(jidx), jnp.asarray(mask),
+            jnp.asarray(types), jnp.asarray(n), jnp.asarray(cell),
+            jnp.asarray(np.float64(cfg["Energy"])), jnp.asarray(forces),
+            jnp.asarray(rng.normal(size=6)),
+            jnp.asarray(1.7), jnp.asarray(0.9), jnp.asarray(0.4))
+
+    flags = {"energy": True, "force": True, "stress": True}
+    kern = ace_kernel(calc.plan)
+    const = ("ace", calc.numtypes)
+    mesh = make_mesh(8)
+    spatial = build_spatial_rows_fn(None, calc.numtypes, flags, mesh,
+                                    kernel=kern, const_mode=const)
+    AtA_s, Atb_s, n_s = spatial(*args)
+    AtA_r, Atb_r, n_r = config_normal_contrib(
+        *args, params=None, numtypes=calc.numtypes, flags=flags,
+        kernel=kern, const_mode=const)
+    assert float(n_s) == float(n_r) == 1 + 3 * n + 6
+    sA = np.abs(np.asarray(AtA_r)).max()
+    assert np.abs(np.asarray(AtA_s) - np.asarray(AtA_r)).max() / sA < 1e-12
+    sb = np.abs(np.asarray(Atb_r)).max()
+    assert np.abs(np.asarray(Atb_s) - np.asarray(Atb_r)).max() / sb < 1e-12
