@@ -22,8 +22,34 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_backend(timeout=180):
+    """Initialize the default backend in a child with a hard timeout.
+
+    The remote-TPU relay ("axon") can hang jax initialization outright when
+    it is down — a hang here would lose the whole bench artifact.  Returns
+    the backend name, or None if initialization hung/failed.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, timeout=timeout)
+        out = r.stdout.decode().strip().splitlines()
+        return out[-1] if r.returncode == 0 and out else None
+    except subprocess.TimeoutExpired:
+        return None
+
+
 def main():
     import jax
+    if _probe_backend() is None:
+        # relay unreachable: record a CPU number instead of hanging.
+        # The env var is NOT enough — the axon PJRT plugin registered by the
+        # image's sitecustomize wins over it; the config knob does not.
+        log("WARNING: default backend unreachable (TPU relay down?); "
+            "falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
     # f64 accumulation of the normal equations on device (rows stay f32)
     jax.config.update("jax_enable_x64", True)
 
