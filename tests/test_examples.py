@@ -77,6 +77,19 @@ def test_genetic_algorithm(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.heavy
+def test_big_config(tmp_path, monkeypatch, capsys):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices (virtual CPU mesh)")
+    out = _run("big_config.py", ["--natoms", "128"],
+               tmp_path, monkeypatch, capsys)
+    rmse = float(out.rsplit("force RMSE vs generating potential:",
+                            1)[1].split()[0])
+    assert rmse < 1e-3       # eV/A; row exactness lives in test_spatial_fit
+
+
+@pytest.mark.heavy
 def test_multichip(tmp_path, monkeypatch, capsys):
     import jax
 
