@@ -98,3 +98,26 @@ def test_adaptive_metropolis_gaussian_moments():
     assert abs(tail[:, 0].var() - 0.25) < 0.1
     assert abs(tail[:, 1].var() - 1.0) < 0.3
     assert np.abs(cmode - mu).max() < 0.2
+
+
+def test_tpusvd_sharded_rows_match_lstsq():
+    """TPUSVD shards the materialized rows over all devices (the CLI analog
+    of `mpirun -np N` + ScaLAPACK); the psum'd normal equations must
+    reproduce the host lstsq fit, including with a row count that does not
+    divide the mesh (zero-row padding)."""
+    import jax
+
+    from fitsnap_tpu.solvers.tpu_svd import TpuSVD
+
+    assert len(jax.devices()) >= 8
+    a, b, w, x_true = _synthetic(npt=203, nbas=7, noise=1e-3, seed=3)
+    w[50:] = 2.0
+    fs_dict = {"Testing": [i % 10 == 0 for i in range(len(b))]}
+    s = TpuSVD("TPUSVD", _solver_config())
+    fit = s.perform_fit(a, b, w, fs_dict)
+
+    training = ~np.asarray(fs_dict["Testing"])
+    aw = w[training, None] * a[training]
+    bw = w[training] * b[training]
+    ref, *_ = np.linalg.lstsq(aw, bw, rcond=1e-13)
+    assert np.abs(fit - ref).max() < 1e-8
