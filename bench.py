@@ -110,13 +110,18 @@ def main():
                              refspec=calc.refspec, neighbors=neighbors)
         evaluate = build_eval_fn(calc.params, calc.numtypes, flags, mesh,
                                  refspec=calc.refspec, neighbors=neighbors)
-        # one host->device transfer; steps run on resident data (the remote
-        # relay makes implicit per-call numpy uploads dominate otherwise)
+        # issue the host->device transfer immediately (async); steps run on
+        # resident data (the remote relay makes implicit per-call numpy
+        # uploads dominate otherwise).  All groups' uploads pipeline through
+        # the relay concurrently; one block below charges the remainder.
         t0 = time.time()
         batch = jax.device_put(batch, dp)
-        jax.block_until_ready(batch)
         t_put += time.time() - t0
         runs.append((step, evaluate, batch))
+
+    t0 = time.time()
+    jax.block_until_ready([r[2] for r in runs])
+    t_put += time.time() - t0
 
     t0 = time.time()
     for step, _, batch in runs:

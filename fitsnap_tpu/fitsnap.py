@@ -49,6 +49,7 @@ def _solver_factory(config):
     name = config.sections["SOLVER"].solver.upper()
     linear = {
         "SVD": "fitsnap_tpu.solvers.svd:SVD",
+        "TENSORFLOWSVD": "fitsnap_tpu.solvers.svd:TfSVD",
         "RIDGE": "fitsnap_tpu.solvers.linear:Ridge",
         "LASSO": "fitsnap_tpu.solvers.linear:Lasso",
         "ARD": "fitsnap_tpu.solvers.linear:ARD",

@@ -11,6 +11,35 @@ import numpy as np
 from fitsnap_tpu.solvers.solver import Solver
 
 
+class TfSVD(Solver):
+    """On-device dense lstsq (reference `solvers/tensorflowsvd.py:13-41`).
+
+    The reference's TensorflowSVD exists to run the same weighted lstsq
+    through an accelerator library (tf.linalg.lstsq) instead of scipy; the
+    TPU-native equivalent is jnp.linalg.lstsq on the default backend.  It
+    solves the fast-Cholesky normal-equation form like tf.linalg.lstsq's
+    default (fast=True), which is also why the reference notes the
+    transpose trick is redundant here.
+    """
+
+    def perform_fit(self, a=None, b=None, w=None, fs_dict=None,
+                    trainall=False):
+        import jax.numpy as jnp
+
+        if fs_dict is not None and not trainall:
+            training = np.array([not t for t in fs_dict["Testing"]])
+        else:
+            training = np.ones(a.shape[0], bool)
+        wt = w[training]
+        aw, bw = wt[:, None] * a[training], wt * b[training]
+        # tf.linalg.lstsq(fast=True) == Cholesky on the normal equations;
+        # form them in f64 regardless of the row dtype for TPU stability.
+        ata = jnp.asarray(aw.T @ aw, jnp.float64)
+        atb = jnp.asarray(aw.T @ bw, jnp.float64)
+        self.fit = np.asarray(jnp.linalg.solve(ata, atb))
+        return self.fit
+
+
 class SVD(Solver):
     def perform_fit(self, a=None, b=None, w=None, fs_dict=None, trainall=False):
         if fs_dict is not None and not trainall:

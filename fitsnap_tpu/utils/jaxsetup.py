@@ -48,6 +48,12 @@ def warm_transfers():
             import numpy as _np
             d = _jax.device_put(_np.ones((8,), _np.float32))   # upload path
             _np.asarray(d + 1.0)                               # download path
+            # batch-scale upload: the relay pays a further one-time setup
+            # on the first multi-megabyte transfer (~0.7 s measured); a
+            # production-sized dummy here moves that under the scrape.
+            big = _jax.device_put(_np.ones((1 << 20,), _np.float32))
+            big.block_until_ready()
+            del big
         except Exception:
             pass
 

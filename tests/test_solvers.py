@@ -121,3 +121,18 @@ def test_tpusvd_sharded_rows_match_lstsq():
     bw = w[training] * b[training]
     ref, *_ = np.linalg.lstsq(aw, bw, rcond=1e-13)
     assert np.abs(fit - ref).max() < 1e-8
+
+
+def test_tensorflowsvd_equiv_matches_lstsq():
+    """TENSORFLOWSVD (reference `solvers/tensorflowsvd.py`) maps to the
+    on-device jnp lstsq path; on a well-conditioned system it must agree
+    with the host SVD fit, honoring weights and the train/test mask."""
+    from fitsnap_tpu.solvers.svd import SVD, TfSVD
+
+    a, b, w, x_true = _synthetic(npt=150, nbas=6, noise=1e-3, seed=7)
+    w[40:] = 3.0
+    fs_dict = {"Testing": [i % 7 == 0 for i in range(len(b))]}
+    ref = SVD("SVD", None).perform_fit(a, b, w, fs_dict)
+    fit = TfSVD("TENSORFLOWSVD", None).perform_fit(a, b, w, fs_dict)
+    assert np.abs(fit - ref).max() < 1e-8
+    assert np.abs(fit - x_true).max() < 0.05
