@@ -431,6 +431,21 @@ class NetworkSolver(Solver):
             assert key0 == "B", "pairwise models resolve num_desc at config"
             net.layer_sizes[0] = int(self.buckets[0]["B"].shape[-1])
         self.params = init_mlp(net.layer_sizes, nelem_net, key, dtype)
+        warm_start = net.save_state_input and net.save_state_input != "None"
+        if warm_start:
+            # resume/warm-start from a saved state (reference
+            # solvers/pytorch.py:102-109 torch.load before training)
+            from fitsnap_tpu.models.mlp import load_params
+            loaded, _meta = load_params(net.save_state_input)
+            got = [tuple(w.shape) for w, _ in loaded]
+            want = [tuple(w.shape) for w, _ in self.params]
+            if got != want:
+                raise ValueError(
+                    f"save_state_input {net.save_state_input!r} has layer "
+                    f"shapes {got}, but this fit needs {want} "
+                    f"(layer_sizes/multi_element_option mismatch)")
+            self.params = [(jnp.asarray(w, dtype), jnp.asarray(b, dtype))
+                           for w, b in loaded]
         # start the output bias at the mean per-atom energy target so the
         # network doesn't spend epochs learning the cohesive-energy offset
         if self.pas:
@@ -446,8 +461,9 @@ class NetworkSolver(Solver):
                         for ds in self.buckets)
             atoms = sum(float(ds["nat_host"].sum()) for ds in self.buckets)
             e_mean = e_mean / max(pairs / max(atoms, 1.0), 1.0)
-        w_last, b_last = self.params[-1]
-        self.params[-1] = (w_last, b_last + e_mean)
+        if not warm_start:
+            w_last, b_last = self.params[-1]
+            self.params[-1] = (w_last, b_last + e_mean)
 
         # data parallelism: shard each minibatch over a "dp" mesh axis
         # (--devices N / FITSNAP_TPU_NN_DEVICES); gradients are psummed so

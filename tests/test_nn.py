@@ -193,3 +193,39 @@ def test_nn_error_analysis(nn_fixture):
     fs, _ = nn_fixture
     fs.solver.error_analysis()
     assert ("*ALL", "Training") in fs.solver.errors.index
+
+
+def test_nn_save_state_resume(nn_fixture, tmp_path):
+    """save_state_input warm-starts training from a saved state (reference
+    solvers/pytorch.py:102-109). With lr=0 the resumed fit must end at
+    exactly the loaded parameters; a shape mismatch must error loudly."""
+    from fitsnap_tpu.models.mlp import save_params
+
+    fs, data = nn_fixture
+    net = fs.config.sections["PYTORCH"]
+    saved = [(np.asarray(w), np.asarray(b)) for w, b in fs.solver.params]
+    path = tmp_path / "state.pkl"
+    save_params(str(path), fs.solver.params, {"layer_sizes": net.layer_sizes})
+
+    old = (net.save_state_input, net.num_epochs, net.learning_rate)
+    try:
+        net.save_state_input = str(path)
+        net.num_epochs = 1
+        net.learning_rate = 0.0
+        fs.solver.perform_fit(calculator=fs.calculator, data=data)
+        for (w, b), (w0, b0) in zip(fs.solver.params, saved):
+            np.testing.assert_array_equal(np.asarray(w), w0)
+            np.testing.assert_array_equal(np.asarray(b), b0)
+
+        # wrong architecture -> loud config error, not silent garbage
+        bad = [(w[:, :, :1] if w.ndim == 3 else w, b) for w, b in saved]
+        bad_path = tmp_path / "bad.pkl"
+        save_params(str(bad_path), [(np.zeros((1, 2, 2)), np.zeros((1, 2)))],
+                    {})
+        net.save_state_input = str(bad_path)
+        with pytest.raises(ValueError, match="layer shapes"):
+            fs.solver.perform_fit(calculator=fs.calculator, data=data)
+    finally:
+        net.save_state_input, net.num_epochs, net.learning_rate = old
+        fs.solver.params = [(jnp.asarray(w), jnp.asarray(b))
+                            for w, b in saved]
