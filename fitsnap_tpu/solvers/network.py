@@ -432,20 +432,48 @@ class NetworkSolver(Solver):
             net.layer_sizes[0] = int(self.buckets[0]["B"].shape[-1])
         self.params = init_mlp(net.layer_sizes, nelem_net, key, dtype)
         warm_start = net.save_state_input and net.save_state_input != "None"
+        self._warm_opt = None
         if warm_start:
             # resume/warm-start from a saved state (reference
             # solvers/pytorch.py:102-109 torch.load before training)
             from fitsnap_tpu.models.mlp import load_params
-            loaded, _meta = load_params(net.save_state_input)
-            got = [tuple(w.shape) for w, _ in loaded]
-            want = [tuple(w.shape) for w, _ in self.params]
+            loaded, meta = load_params(net.save_state_input)
+            got = [(tuple(w.shape), tuple(b.shape)) for w, b in loaded]
+            want = [(tuple(w.shape), tuple(b.shape)) for w, b in self.params]
             if got != want:
                 raise ValueError(
                     f"save_state_input {net.save_state_input!r} has layer "
                     f"shapes {got}, but this fit needs {want} "
                     f"(layer_sizes/multi_element_option mismatch)")
+            if meta.get("layer_sizes") is not None and \
+                    list(meta["layer_sizes"]) != list(net.layer_sizes):
+                raise ValueError(
+                    f"save_state_input {net.save_state_input!r} was trained "
+                    f"with layer_sizes={meta['layer_sizes']}, this fit uses "
+                    f"{net.layer_sizes}")
+            if meta.get("multi_element_option") not in (
+                    None, net.multi_element_option):
+                raise ValueError(
+                    f"save_state_input {net.save_state_input!r} was trained "
+                    f"with multi_element_option="
+                    f"{meta['multi_element_option']}, this fit uses "
+                    f"{net.multi_element_option}")
             self.params = [(jnp.asarray(w, dtype), jnp.asarray(b, dtype))
                            for w, b in loaded]
+            # the saved weights were trained against the SAVING fit's
+            # descriptor standardization — restore it so resuming on
+            # different/extended data does not silently re-standardize
+            # the inputs under the loaded network
+            if meta.get("mean") is not None and self.mean is not None:
+                m, s = np.asarray(meta["mean"]), np.asarray(meta["std"])
+                if m.shape != np.asarray(self.mean).shape:
+                    raise ValueError(
+                        f"save_state_input {net.save_state_input!r} has "
+                        f"descriptor mean of width {m.shape}, this fit "
+                        f"computes {np.asarray(self.mean).shape}")
+                self.mean = jnp.asarray(m, dtype)
+                self.std = jnp.asarray(s, dtype)
+            self._warm_opt = meta.get("opt_state")
         # start the output bias at the mean per-atom energy target so the
         # network doesn't spend epochs learning the cohesive-energy offset
         if self.pas:
@@ -476,6 +504,22 @@ class NetworkSolver(Solver):
 
         opt = optax.adam(net.learning_rate)
         opt_state = opt.init(self.params)
+        if self._warm_opt is not None:
+            # resume also restores the Adam moments (reference
+            # solvers/pytorch.py:105-109 optimizer_state_dict); stored as
+            # the flattened leaf list of the optax state pytree
+            leaves, treedef = jax.tree.flatten(opt_state)
+            stored = list(self._warm_opt)
+            if len(stored) != len(leaves) or any(
+                    np.shape(a) != np.shape(b)
+                    for a, b in zip(stored, leaves)):
+                raise ValueError(
+                    f"save_state_input {net.save_state_input!r} optimizer "
+                    "state does not match this fit's optimizer (shape "
+                    "mismatch)")
+            opt_state = jax.tree.unflatten(
+                treedef, [jnp.asarray(a, l.dtype)
+                          for a, l in zip(stored, leaves)])
         loss_fn = partial(self._loss, axis="dp" if ndev > 1 else None)
 
         # per-bucket train/val indices
@@ -548,7 +592,7 @@ class NetworkSolver(Solver):
                             for ds in self.buckets)
 
         def epoch_body(bufs, vplans, carry, xs):
-            params, opt_state, best_val, best_params = carry
+            params, opt_state, best_val, best_params, best_opt = carry
             tl_sum = jnp.zeros(())
             tn = 0
             for slot, bi in enumerate(tkeys):
@@ -591,14 +635,17 @@ class NetworkSolver(Solver):
             better = vl <= best_val
             best_params = jax.tree.map(
                 lambda b, p: jnp.where(better, p, b), best_params, params)
+            best_opt = jax.tree.map(
+                lambda b, s: jnp.where(better, s, b), best_opt, opt_state)
             best_val = jnp.minimum(best_val, vl)
-            return (params, opt_state, best_val, best_params), (tl, vl)
+            return (params, opt_state, best_val, best_params, best_opt), \
+                (tl, vl)
 
         def train_all(params, opt_state, perms, bufs, vplans):
-            init = (params, opt_state, jnp.asarray(np.inf), params)
-            (params, opt_state, best_val, best_params), hist = jax.lax.scan(
-                partial(epoch_body, bufs, vplans), init, perms)
-            return params, best_params, hist
+            init = (params, opt_state, jnp.asarray(np.inf), params, opt_state)
+            (params, opt_state, best_val, best_params, best_opt), hist = \
+                jax.lax.scan(partial(epoch_body, bufs, vplans), init, perms)
+            return params, best_params, best_opt, hist
 
         perms_stacked = tuple(train_perms)
         vplans_t = tuple(val_plans)
@@ -614,12 +661,12 @@ class NetworkSolver(Solver):
                           tuple(P(None, None, "dp") for _ in perms_stacked),
                           tuple(P() for _ in dev_buckets),
                           tuple(P(None, "dp") for _ in vplans_t)),
-                out_specs=(P(), P(), (P(), P())),
+                out_specs=(P(), P(), P(), (P(), P())),
                 check_vma=False))
         else:
             train_fn = jax.jit(train_all)
-        _, best_params, hist = train_fn(self.params, opt_state,
-                                        perms_stacked, dev_buckets, vplans_t)
+        _, best_params, best_opt, hist = train_fn(
+            self.params, opt_state, perms_stacked, dev_buckets, vplans_t)
         tls, vls = [np.asarray(x) for x in hist]
         self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
         self.params = best_params
@@ -634,6 +681,11 @@ class NetworkSolver(Solver):
                 "mean": np.asarray(self.mean),
                 "std": np.asarray(self.std),
                 "multi_element_option": net.multi_element_option,
+                # Adam moments at the best-val epoch (the saved params), so
+                # a resume continues the same trajectory (reference
+                # solvers/pytorch.py:105-109 optimizer_state_dict)
+                "opt_state": [np.asarray(x)
+                              for x in jax.tree.leaves(best_opt)],
             })
         if (not self.pairwise and not self.pas and net.output_file
                 and net.output_file != "None"):

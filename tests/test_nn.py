@@ -218,14 +218,70 @@ def test_nn_save_state_resume(nn_fixture, tmp_path):
             np.testing.assert_array_equal(np.asarray(b), b0)
 
         # wrong architecture -> loud config error, not silent garbage
-        bad = [(w[:, :, :1] if w.ndim == 3 else w, b) for w, b in saved]
         bad_path = tmp_path / "bad.pkl"
         save_params(str(bad_path), [(np.zeros((1, 2, 2)), np.zeros((1, 2)))],
                     {})
         net.save_state_input = str(bad_path)
         with pytest.raises(ValueError, match="layer shapes"):
             fs.solver.perform_fit(calculator=fs.calculator, data=data)
+
+        # meta cross-check: right shapes, wrong declared layer_sizes
+        meta_path = tmp_path / "meta.pkl"
+        save_params(str(meta_path), saved,
+                    {"layer_sizes": [1] + list(net.layer_sizes)[1:]})
+        net.save_state_input = str(meta_path)
+        with pytest.raises(ValueError, match="layer_sizes"):
+            fs.solver.perform_fit(calculator=fs.calculator, data=data)
     finally:
         net.save_state_input, net.num_epochs, net.learning_rate = old
+        fs.solver.params = [(jnp.asarray(w), jnp.asarray(b))
+                            for w, b in saved]
+
+
+def test_nn_save_state_restores_standardization_and_adam(nn_fixture,
+                                                         tmp_path):
+    """Warm start restores the SAVING fit's descriptor mean/std and Adam
+    moments from meta (ADVICE r2: prepare_dataset otherwise re-standardizes
+    the loaded network's inputs; reference torch.load restores
+    optimizer_state_dict too)."""
+    from fitsnap_tpu.models.mlp import load_params, save_params
+
+    fs, data = nn_fixture
+    net = fs.config.sections["PYTORCH"]
+    saved = [(np.asarray(w), np.asarray(b)) for w, b in fs.solver.params]
+    old = (net.save_state_input, net.save_state_output,
+           net.num_epochs, net.learning_rate)
+    try:
+        # 1) produce a full-meta checkpoint
+        out_path = tmp_path / "ckpt.pkl"
+        net.save_state_output = str(out_path)
+        net.num_epochs = 1
+        fs.solver.perform_fit(calculator=fs.calculator, data=data)
+        _, meta = load_params(str(out_path))
+        assert meta["opt_state"], "checkpoint must carry optimizer state"
+        assert meta["mean"].shape == np.asarray(fs.solver.mean).shape
+
+        # 2) doctor the standardization in meta and resume: the solver must
+        # adopt meta's mean/std, not the recomputed dataset values
+        doctored = dict(meta)
+        doctored["mean"] = meta["mean"] + 1.0
+        params, _ = load_params(str(out_path))
+        in_path = tmp_path / "doctored.pkl"
+        save_params(str(in_path), params, doctored)
+        net.save_state_output = None
+        net.save_state_input = str(in_path)
+        net.learning_rate = 0.0
+        fs.solver.perform_fit(calculator=fs.calculator, data=data)
+        np.testing.assert_allclose(np.asarray(fs.solver.mean),
+                                   doctored["mean"])
+
+        # 3) truncated optimizer state -> loud error
+        doctored["opt_state"] = doctored["opt_state"][:-1]
+        save_params(str(in_path), params, doctored)
+        with pytest.raises(ValueError, match="optimizer"):
+            fs.solver.perform_fit(calculator=fs.calculator, data=data)
+    finally:
+        (net.save_state_input, net.save_state_output,
+         net.num_epochs, net.learning_rate) = old
         fs.solver.params = [(jnp.asarray(w), jnp.asarray(b))
                             for w, b in saved]
