@@ -1,14 +1,16 @@
-"""WBe_PRB2019 (25,422 configs) on one TPU chip.
+"""WBe_PRB2019 (25,422 configs / 1.77M rows) on one TPU chip.
 
 BASELINE.md target: beat a 64-rank MPI CPU run of the reference.  The
 reference computes descriptors with one embedded LAMMPS instance per config;
 here the whole dataset streams through bucketed device steps accumulating
 the normal equations.
 
-One fixed-shape program per (a_pad, k_pad) bucket: each step call processes
-a constant-size macro-batch (padded tail), so the program count — and the
-per-program compile/warmup cost — is bounded by the bucket count, not the
-dataset size.
+Host->device traffic is the bottleneck through the remote TPU relay
+(~1-2 MB/s), so the batch carries POSITIONS (hi/lo f32 pairs), not neighbor
+tensors: neighbor lists are built on device (`device_neighbors`), cutting
+the upload ~20x vs shipping (disp, jidx, mask).  Configs bucket by
+(shift extent, natoms, kmax) and the buckets coalesce to at most 10 XLA
+programs (`plan_pos_buckets`) so compile cost stays bounded.
 
 Run: python benchmarks/wbe_tpu.py [max_configs]
 """
@@ -19,14 +21,15 @@ import time
 import numpy as np
 
 
-def run(limit=None, refine=False, mae=False):
+def run(limit=None, refine=False, mae=False, max_programs=10):
     """Run the WBe fit end-to-end; returns a result dict for bench.py."""
     import jax
     jax.config.update("jax_enable_x64", True)
 
     from fitsnap_tpu.fitsnap import FitSnap
     from fitsnap_tpu.parallel.fit import (NormalSolver, build_step_fn,
-                                          make_mesh, pack_batch)
+                                          make_mesh, pack_batch_pos,
+                                          plan_pos_buckets)
     from fitsnap_tpu.utils.jaxsetup import setup_cache, warm_transfers
 
     setup_cache()
@@ -45,75 +48,54 @@ def run(limit=None, refine=False, mae=False):
 
     calc = fs.calculator
     t0 = time.time()
-    packed, buckets = calc.host_preprocess(data)
-    print(f"host preprocess {time.time()-t0:.1f}s; "
-          f"buckets: {[(k, len(v)) for k, v in sorted(buckets.items())]}",
-          flush=True)
+    packed = [calc._pack(d) for d in data]
+    groups = plan_pos_buckets(packed, calc.cutoff, max_programs=max_programs)
+    print(f"host plan {time.time()-t0:.1f}s; programs: "
+          f"{[(g['a_pad'], g['k_pad'], len(g['s_table']), len(g['configs']))
+              for g in groups]}", flush=True)
 
     mesh = make_mesh()
+    ndev = mesh.devices.size
     flags = {"energy": True, "force": True, "stress": True}
 
     # device-resident f64 accumulator: nothing downloads until the end
-    # (device->host is ~1 MB/s through the remote relay; AtA is 2.6 MB)
-    acc_step, acc_init, acc_finish = build_step_fn(
-        calc.params, calc.numtypes, flags, mesh, refspec=calc.refspec,
-        accumulate=True)
-    acc = acc_init()
+    # (device->host is slow through the remote relay)
+    acc_init = None
+    acc = None
 
-    # Coalesce shape buckets: each distinct (a_pad, k_pad) is one XLA
-    # program (~20s compile through the remote service), so merge
-    # low-pair-work buckets into any covering shape until the padding
-    # overhead stops paying for the saved compiles.
-    def coalesce(buckets, max_programs=10):
-        merged = dict(buckets)
-        while len(merged) > max_programs:
-            keys = sorted(merged, key=lambda k: k[0] * k[1] * len(merged[k]))
-            moved = False
-            for small in keys:
-                covers = [k for k in merged if k != small
-                          and k[0] >= small[0] and k[1] >= small[1]]
-                if covers:
-                    dst = min(covers, key=lambda k: k[0] * k[1])
-                    merged[dst] = merged[dst] + merged[small]
-                    del merged[small]
-                    moved = True
-                    break
-            if not moved:
-                break
-        return merged
-
-    buckets = coalesce(buckets)
-    print(f"coalesced to {len(buckets)} programs: "
-          f"{[(k, len(v)) for k, v in sorted(buckets.items())]}", flush=True)
-
-    import jax as _jax
-
-    def bucket_batches(buckets):
-        """One packed whole-bucket batch per shape (chunked for the scan)."""
-        for (a_pad, k_pad), idxs in sorted(buckets.items()):
-            csize = max(1, min(16, (1 << 27)
-                               // (a_pad * max(k_pad, 96) * 570 * 12)))
-            per = mesh.devices.size * csize
-            C = -(-len(idxs) // per)
-            sel = [packed[i] for i in idxs]
-            yield ((a_pad, k_pad), idxs, csize,
-                   pack_batch(sel, a_pad, k_pad, C * per, dtype, chunks=C))
-
-    # pack + upload each bucket once; the whole bucket runs as ONE device
-    # call (scan over chunks) on resident data — per-call host packing and
-    # relay latency drop out of the streaming loop entirely
     t_compute = 0.0
-    resident = []
-    for key, idxs, csize, batch in bucket_batches(buckets):
+    t_pack = 0.0
+    resident = []   # (batch, step_meta) for optional refine/mae passes
+    for g in groups:
+        a_pad, k_pad, s_table = g["a_pad"], g["k_pad"], g["s_table"]
+        cfgs = g["configs"]
+        S = len(s_table)
+        # chunk so both the per-pair descriptor tangents and the neighbor
+        # candidate tensor stay well under HBM
+        csize = max(1, min(16,
+                           (1 << 27) // (a_pad * max(k_pad, 96) * 570 * 12),
+                           (1 << 28) // max(a_pad * S * a_pad * 16, 1)))
+        per = ndev * csize
+        C = -(-len(cfgs) // per)
         t0 = time.time()
-        batch = _jax.device_put(batch)
+        batch = pack_batch_pos(cfgs, a_pad, C * per, s_table, dtype,
+                               chunks=C)
+        t_pack += time.time() - t0
+        neighbors = {"cutoff": calc.cutoff, "k_pad": k_pad}
+        acc_step, init_fn, acc_finish = build_step_fn(
+            calc.params, calc.numtypes, flags, mesh, refspec=calc.refspec,
+            neighbors=neighbors, accumulate=True)
+        if acc is None:
+            acc = init_fn()
+        t0 = time.time()
+        batch = jax.device_put(batch)
         acc = acc_step(acc, batch)
-        _jax.block_until_ready(acc)
-        resident.append(batch)
+        jax.block_until_ready(acc)
+        resident.append((batch, neighbors))
         dt = time.time() - t0
         t_compute += dt
-        print(f"  bucket {key} x{len(idxs)} csize={csize}: {dt:.2f}s",
-              flush=True)
+        print(f"  program ({a_pad},{k_pad},S={S}) x{len(cfgs)} "
+              f"csize={csize}: {dt:.2f}s", flush=True)
 
     t0 = time.time()
     AtA_sum, Atb_sum, nrows_total = acc_finish(acc)
@@ -130,18 +112,20 @@ def run(limit=None, refine=False, mae=False):
     if refine:
         import jax.numpy as jnp
         from fitsnap_tpu.parallel.fit import build_residual_fn
-        residual = build_residual_fn(calc.params, calc.numtypes, flags,
-                                     mesh, refspec=calc.refspec)
         t0 = time.time()
         for _ in range(2):
             Atr = np.zeros_like(Atb_sum)
-            for batch in resident:
+            for batch, neighbors in resident:
+                residual = build_residual_fn(
+                    calc.params, calc.numtypes, flags, mesh,
+                    refspec=calc.refspec, neighbors=neighbors)
                 Atr += np.asarray(
                     residual(jnp.asarray(coeff, dtype), batch), np.float64)
             coeff = coeff + solver.solve(Atr)
         print(f"refine (2 passes): {time.time()-t0:.1f}s", flush=True)
     total = time.time() - t_all
-    print(f"rows {nrows_total:.0f}  device compute+transfer {t_compute:.1f}s "
+    print(f"rows {nrows_total:.0f}  pack {t_pack:.1f}s  device "
+          f"compute+transfer {t_compute:.1f}s "
           f"({nrows_total/max(t_compute,1e-9):.0f} rows/s incl. compiles)",
           flush=True)
     print(f"download {t_down:.2f}s  solve {t_solve:.2f}s  "
@@ -165,14 +149,14 @@ def run(limit=None, refine=False, mae=False):
         print(f"max|coeff - 20May21_Standard| = {dcoeff:.3e}", flush=True)
 
     if mae:
-        import jax
         import jax.numpy as jnp
         from fitsnap_tpu.parallel.fit import build_eval_fn
-        evaluate = build_eval_fn(calc.params, calc.numtypes, flags, mesh,
-                                 refspec=calc.refspec)
         t0 = time.time()
         se = ne = sf = nf = 0.0
-        for batch in resident:
+        for batch, neighbors in resident:
+            evaluate = build_eval_fn(calc.params, calc.numtypes, flags,
+                                     mesh, refspec=calc.refspec,
+                                     neighbors=neighbors)
             o = evaluate(jnp.asarray(coeff, dtype), batch)
             se += float(np.asarray(o[0]))
             ne += float(np.asarray(o[1]))

@@ -119,6 +119,68 @@ def plan_shift_groups(packed, cutoff):
     return groups
 
 
+def plan_pos_buckets(packed, cutoff, max_programs=10):
+    """Shape plan for the positions/device-neighbor path on large datasets.
+
+    `plan_shift_groups` pads every config in a shift group to the group max
+    natoms — ruinous when a group mixes 8-atom EOS cells with 512-atom
+    surfaces (WBe).  Here configs bucket by (shift extent, natoms bucket,
+    kmax bucket), then buckets greedily coalesce into covering shapes until
+    at most `max_programs` distinct XLA programs remain (each distinct shape
+    is one ~20 s compile through the remote TPU service), choosing the merge
+    with the least added padding work at each step.
+
+    Returns the same group dicts as `plan_shift_groups`.
+    """
+    from fitsnap_tpu.calculators.snap import _A_BUCKETS, _K_BUCKETS, _pad_to
+    from fitsnap_tpu.ops.neighbors import (count_neighbors, required_shifts,
+                                           shift_table)
+
+    groups = {}
+    for pc in packed:
+        nvec = np.asarray(required_shifts(pc.cell, cutoff))
+        kmax = count_neighbors(pc.pos, pc.cell, pc.natoms, cutoff)
+        key = (int(nvec.max()), _pad_to(pc.natoms, _A_BUCKETS),
+               _pad_to(kmax, _K_BUCKETS))
+        g = groups.setdefault(key, {"configs": [], "nvec": np.zeros(3, int),
+                                    "a_pad": key[1], "k_pad": key[2]})
+        g["configs"].append(pc)
+        g["nvec"] = np.maximum(g["nvec"], nvec)
+
+    def cost(g, a_pad=None, k_pad=None, nvec=None):
+        # per-config device work proxy: A*S*A candidate pass + descriptor
+        # pass ~ A*K (the per-pair kernel dominates; 30 ~ flops ratio)
+        a = a_pad if a_pad is not None else g["a_pad"]
+        k = k_pad if k_pad is not None else g["k_pad"]
+        nv = nvec if nvec is not None else g["nvec"]
+        S = int(np.prod(2 * np.asarray(nv) + 1))
+        return len(g["configs"]) * (a * S * a + 30 * a * k)
+
+    items = list(groups.values())
+    while len(items) > max_programs:
+        best = None
+        for i, src in enumerate(items):
+            for j, dst in enumerate(items):
+                if i == j:
+                    continue
+                a = max(src["a_pad"], dst["a_pad"])
+                k = max(src["k_pad"], dst["k_pad"])
+                nv = np.maximum(src["nvec"], dst["nvec"])
+                added = (cost(src, a, k, nv) + cost(dst, a, k, nv)
+                         - cost(src) - cost(dst))
+                if best is None or added < best[0]:
+                    best = (added, i, j, a, k, nv)
+        _, i, j, a, k, nv = best
+        items[j] = {"configs": items[j]["configs"] + items[i]["configs"],
+                    "nvec": nv, "a_pad": a, "k_pad": k}
+        del items[i]
+
+    return [{"configs": g["configs"], "a_pad": g["a_pad"],
+             "k_pad": g["k_pad"],
+             "s_table": tuple(map(tuple, shift_table(g["nvec"])))}
+            for g in items]
+
+
 def make_mesh(n_devices=None, devices=None):
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
@@ -375,7 +437,7 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
 
 
 def build_residual_fn(params, numtypes, flags, mesh, refspec=None,
-                      kernel=None, const_mode=None):
+                      kernel=None, const_mode=None, neighbors=None):
     """Jitted sharded refinement pass: A^T (b - A x), truths through rows.
 
     One or two of these after the direct solve recover near-f64 fit quality
@@ -387,6 +449,13 @@ def build_residual_fn(params, numtypes, flags, mesh, refspec=None,
 
     def res(coeff, batch):
         def contrib1(*chunk_cols):
+            if neighbors is not None:
+                ph, pl, sh, sl, types, natoms = chunk_cols[:6]
+                disp, jidx, mask = device_neighbors(
+                    ph, pl, sh, sl, natoms, neighbors["cutoff"],
+                    neighbors["k_pad"])
+                chunk_cols = (disp, jidx, mask, types, natoms) \
+                    + chunk_cols[6:]
             return config_normal_contrib(
                 *chunk_cols, params=params, numtypes=numtypes, flags=flags,
                 refspec=refspec, coeff=coeff, with_ata=False,
@@ -404,7 +473,8 @@ def build_residual_fn(params, numtypes, flags, mesh, refspec=None,
         Atr, _ = jax.lax.scan(body, jnp.zeros((W,), dtp), batch)
         return Atr
 
-    return jax.jit(res, in_shardings=(repl, (dp,) * 12),
+    nbatch = 12 if neighbors is None else 13
+    return jax.jit(res, in_shardings=(repl, (dp,) * nbatch),
                    out_shardings=repl)
 
 
