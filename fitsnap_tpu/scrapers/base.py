@@ -18,6 +18,10 @@ import numpy as np
 
 from fitsnap_tpu.units import convert
 
+# shared identity rotation for the already-normalized fast path (read-only)
+_EYE3 = np.eye(3)
+_EYE3.setflags(write=False)
+
 
 class Scraper:
     def __init__(self, name, config):
@@ -124,39 +128,86 @@ class Scraper:
         return int(x)
 
     def _rotate_coords(self):
-        """QR-rotate the cell upper-triangular; rotate positions/forces/stress."""
-        in_cell = np.asarray(self.data["QMLattice"])
-        assert np.linalg.det(in_cell) > 0, "Input cell is not right-handed!"
-        qmat, rmat = np.linalg.qr(in_cell)
-        ss = np.diagflat(np.sign(np.diag(rmat)))
-        rot = ss @ qmat.T
-        assert np.allclose(rot @ rot.T, np.eye(3)), "Rotation not orthogonal"
-        out_cell = rot @ in_cell
-        lower = out_cell[np.tril_indices(3, k=-1)]
-        assert np.allclose(lower, 0, atol=1e-13), "Cell not upper-triangular"
+        """Rotate the cell into LAMMPS orientation (upper-triangular, +diag).
+
+        Behavior-parity with the reference's per-config cell normalization
+        (`fitsnap3lib/scrapers/scrape.py:244`), reimplemented in direct 3x3
+        arithmetic: QR/assert machinery on 25k tiny matrices dominated the
+        whole scrape.  Datasets that already store a LAMMPS-oriented cell
+        (the common case) take the identity fast path.
+        """
+        in_cell = np.asarray(self.data["QMLattice"], np.float64)
+        c = in_cell
+        det = (c[0, 0] * (c[1, 1] * c[2, 2] - c[1, 2] * c[2, 1])
+               - c[0, 1] * (c[1, 0] * c[2, 2] - c[1, 2] * c[2, 0])
+               + c[0, 2] * (c[1, 0] * c[2, 1] - c[1, 1] * c[2, 0]))
+        if det <= 0:
+            raise ValueError(
+                f"{self.data.get('File', '?')}: input cell is not "
+                "right-handed (det <= 0)")
+        pconv = self.conversions["Positions"]
+        already = (c[1, 0] == 0.0 and c[2, 0] == 0.0 and c[2, 1] == 0.0
+                   and c[0, 0] > 0 and c[1, 1] > 0 and c[2, 2] > 0)
+        if already:
+            rot = _EYE3
+            out_cell = in_cell
+            self.data["Positions"] = np.asarray(
+                self.data["Positions"], np.float64) * pconv
+            if self.config.sections["CALCULATOR"].force:
+                self.data["Forces"] = np.asarray(
+                    self.data["Forces"], np.float64) \
+                    * self.conversions["Forces"]
+            if self.config.sections["CALCULATOR"].stress:
+                self.data["Stress"] = np.asarray(
+                    self.data["Stress"], np.float64) \
+                    * self.conversions["Stress"]
+        else:
+            qmat, rmat = np.linalg.qr(in_cell)
+            rot = np.sign(np.diag(rmat))[:, None] * qmat.T
+            out_cell = rot @ in_cell
+            if max(abs(out_cell[1, 0]), abs(out_cell[2, 0]),
+                   abs(out_cell[2, 1])) > 1e-10 * abs(out_cell).max():
+                raise ValueError(
+                    f"{self.data.get('File', '?')}: cell could not be "
+                    "rotated upper-triangular (singular lattice?)")
+            self.data["Positions"] = (np.asarray(
+                self.data["Positions"], np.float64) * pconv) @ rot.T
+            if self.config.sections["CALCULATOR"].force:
+                self.data["Forces"] = (np.asarray(
+                    self.data["Forces"], np.float64)
+                    * self.conversions["Forces"]) @ rot.T
+            if self.config.sections["CALCULATOR"].stress:
+                self.data["Stress"] = rot @ (np.asarray(
+                    self.data["Stress"], np.float64)
+                    * self.conversions["Stress"]) @ rot.T
         self.data["Lattice"] = out_cell
-        self.data["Positions"] = (
-            self.data["Positions"] * self.conversions["Positions"]) @ rot.T
-        if self.config.sections["CALCULATOR"].force:
-            self.data["Forces"] = (
-                self.data["Forces"] * self.conversions["Forces"]) @ rot.T
-        if self.config.sections["CALCULATOR"].stress:
-            self.data["Stress"] = rot @ (
-                self.data["Stress"] * self.conversions["Stress"]) @ rot.T
         self.data["Rotation"] = rot
 
     def _translate_coords(self):
         """Wrap positions into the home cell (reference scrape.py:286)."""
         cell = self.data["Lattice"]
         pos = self.data["Positions"]
-        invcell = np.linalg.inv(cell.T).T
+        # cell is upper-triangular by construction (_rotate_coords):
+        # closed-form inverse beats np.linalg.inv on 25k tiny matrices
+        a, b_, c_ = cell[0, 0], cell[0, 1], cell[0, 2]
+        d, e = cell[1, 1], cell[1, 2]
+        f = cell[2, 2]
+        invcell = np.array([
+            [1.0 / a, -b_ / (a * d), (b_ * e - c_ * d) / (a * d * f)],
+            [0.0, 1.0 / d, -e / (d * f)],
+            [0.0, 0.0, 1.0 / f]])
         frac = pos @ invcell.T
-        frac[np.isclose(frac, 0, atol=1e-15)] = 0.0
-        trans, cfrac = np.divmod(frac, 1)
-        assert ((cfrac >= 0) & (cfrac < 1)).all(), "fractional coords outside cell"
-        if (trans == 0).all():
+        # snap -1e-15-ish fractional coords to 0 so floor() keeps atoms on
+        # the cell boundary in the home image (matches the reference's
+        # isclose(frac, 0, atol=1e-15) epsilon)
+        frac[np.abs(frac) <= 1e-15] = 0.0
+        trans = np.floor(frac)
+        if not trans.any():
             self.data["Translation"] = np.zeros_like(pos, dtype=float)
             return
+        cfrac = frac - trans
+        if ((cfrac < 0) | (cfrac >= 1)).any():
+            raise ValueError("fractional coords outside cell after wrap")
         self.data["Positions"] = cfrac @ cell.T
         self.data["Translation"] = trans @ cell.T
 

@@ -80,14 +80,22 @@ def _norm_unit(name: str) -> str:
     return "_".join("_per_".join(str(name).split("/")).split("*")).lower()
 
 
+_MEMO = {}
+
+
 def convert(unit_type, unit_a=None, unit_b=None) -> float:
     """Factor converting values in `unit_a` to `unit_b` for a dimension.
 
     Accepts either three args or a single [type, a, b] list (the reference
-    calling convention, `units/units.py:6`).
+    calling convention, `units/units.py:6`).  Memoized: scrapers call this
+    per file with a handful of distinct specs.
     """
     if isinstance(unit_type, (list, tuple)):
         unit_type, unit_a, unit_b = unit_type
+    key = (unit_type, unit_a, unit_b)
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
     t = str(unit_type).lower()
     t = _ALT_TYPE.get(t, t)
     table = _TABLES.get(t)
@@ -98,4 +106,5 @@ def convert(unit_type, unit_a=None, unit_b=None) -> float:
         den = table[_norm_unit(unit_b)]
     except KeyError as e:
         raise KeyError(f"unknown {t} unit: {e}") from None
-    return num / den
+    _MEMO[key] = num / den
+    return _MEMO[key]
