@@ -43,6 +43,7 @@ class NetworkSolver(Solver):
         self.std = None
         self.params = None
         self.history = []
+        self._fwd_jit = None
 
     # ------------- data -------------
 
@@ -93,42 +94,67 @@ class NetworkSolver(Solver):
                 groups.append(d["Group"])
                 files.append(str(d.get("File", "")))
 
-            fn = jax.jit(jax.vmap(prep))
-            chunk = int(min(32, max(1, 1024 // a_pad)))
-            Bs, Gs, res, rfs = [], [], [], []
-            for c0 in range(0, n, chunk):
-                sl = slice(c0, min(n, c0 + chunk))
-                pad = chunk - (sl.stop - sl.start)
-                args = [np.concatenate([x[sl]] + ([x[:pad]] if pad else []))
-                        for x in (disp, jidx, mask, types, nat)]
-                B, G, re_, rf_ = fn(*[jnp.asarray(x) for x in args])
-                keep = sl.stop - sl.start
-                Bs.append(B[:keep])
-                Gs.append(G[:keep])
-                res.append(re_[:keep])
-                rfs.append(rf_[:keep])
-            B = jnp.concatenate(Bs)
-            G = jnp.concatenate(Gs)
-            ref_e = np.asarray(jnp.concatenate(res))
-            ref_f = np.asarray(jnp.concatenate(rfs))
+            # ONE jitted program per bucket: descriptors+dgrad for all its
+            # configs (scan over fixed-size chunks), reference-potential
+            # subtraction, and the standardization sums — all on device.
+            # B/G stay DEVICE-resident: through the remote-TPU relay,
+            # device->host runs ~0.2 MB/s (downloading G once cost minutes)
+            # and every eager op on a stored device array is a separate
+            # ~0.5-1 s program load, so the only downloads here are
+            # W-vector sums and the (n,) energy targets.
+            chunk = int(min(32, max(1, 1024 // a_pad), n))
+            C = -(-n // chunk)
+            n_pad = C * chunk
+
+            def pad_c(x):
+                # cyclic repeat (np.resize) pads the tail chunk even when
+                # the bucket is smaller than one chunk
+                reps = np.resize(x, (n_pad,) + x.shape[1:]) \
+                    if n_pad > n else x
+                return reps.reshape((C, chunk) + x.shape[1:])
+
+            def prep_bucket(dispC, jidxC, maskC, typesC, natC, e_tC, f_tC):
+                def body(_, ch):
+                    d, j, m, t, na = ch
+                    return None, jax.vmap(prep)(d, j, m, t, na)
+                _, (B, G, re_, rf_) = jax.lax.scan(
+                    body, None, (dispC, jidxC, maskC, typesC, natC))
+                B = B.reshape((n_pad,) + B.shape[2:])[:n]
+                G = G.reshape((n_pad,) + G.shape[2:])[:n]
+                re_ = re_.reshape(n_pad)[:n]
+                rf_ = rf_.reshape((n_pad,) + rf_.shape[2:])[:n]
+                natf = natC.reshape(n_pad)[:n]
+                e_tgt = (e_tC.reshape(n_pad)[:n] - re_) \
+                    / jnp.maximum(natf, 1)
+                f_tgt = f_tC.reshape((n_pad,) + f_tC.shape[2:])[:n] - rf_
+                realr = jnp.arange(a_pad)[None, :] < natf[:, None]
+                Bm = B * realr[:, :, None]
+                sb = Bm.sum((0, 1))
+                ssq = (Bm * Bm).sum((0, 1))
+                cnt = realr.sum()
+                return B, G, e_tgt.astype(B.dtype), f_tgt.astype(B.dtype), \
+                    sb, ssq, cnt
+
+            B, G, e_target, f_target, sb, ssq, cnt = jax.jit(prep_bucket)(
+                *[jnp.asarray(pad_c(x))
+                  for x in (disp, jidx, mask, types, nat, e_t, f_t)])
 
             real = (np.arange(a_pad)[None, :] < nat[:, None])
-            Bh = np.asarray(B)[real]
-            sum_b = Bh.sum(0) if sum_b is None else sum_b + Bh.sum(0)
-            sumsq_b = (Bh ** 2).sum(0) if sumsq_b is None \
-                else sumsq_b + (Bh ** 2).sum(0)
-            count += Bh.shape[0]
+            sb = np.asarray(sb, np.float64)
+            ssq = np.asarray(ssq, np.float64)
+            sum_b = sb if sum_b is None else sum_b + sb
+            sumsq_b = ssq if sumsq_b is None else sumsq_b + ssq
+            count += int(cnt)
 
             self.buckets.append({
                 "B": B, "G": G,
-                "jidx": jnp.asarray(jidx),
-                "types": jnp.asarray(types),
-                "nat": jnp.asarray(nat),
-                "real": jnp.asarray(real),
-                "e_target": jnp.asarray(
-                    (e_t - ref_e) / np.maximum(nat, 1), dtype),
-                "f_target": jnp.asarray(np.asarray(f_t - ref_f, dtype)),
-                "ew": jnp.asarray(ew), "fw": jnp.asarray(fw),
+                "jidx": jidx,
+                "types": types,
+                "nat": nat,
+                "real": real,
+                "e_target": e_target,
+                "f_target": f_target,
+                "ew": ew, "fw": fw,
                 "test": test, "groups": groups, "files": files,
                 "nat_host": nat,
                 "shape": (a_pad, k_pad), "dtype": dtype,
@@ -138,8 +164,8 @@ class NetworkSolver(Solver):
         var = sumsq_b / count - mean ** 2
         std = np.sqrt(np.clip(var, 0, None))
         std[std < 1e-8] = 1.0
-        self.mean = jnp.asarray(mean, dtype)
-        self.std = jnp.asarray(std, dtype)
+        self.mean = jnp.asarray(np.asarray(mean, dtype))
+        self.std = jnp.asarray(np.asarray(std, dtype))
         return self.buckets
 
     def _prepare_pairwise(self, calculator, data):
@@ -186,21 +212,31 @@ class NetworkSolver(Solver):
                 groups.append(d["Group"])
                 files.append(str(d.get("File", "")))
             real = (np.arange(a_pad)[None, :] < nat[:, None])
-            desc = np.asarray(pair_descriptors(
-                jnp.asarray(disp), jnp.asarray(mask), sec.cutoff,
-                sec.num_radial, sec.num_3body))
-            dm = np.asarray(mask)
-            flat = desc[dm]
-            s1 = flat.sum(0) if s1 is None else s1 + flat.sum(0)
-            s2 = (flat ** 2).sum(0) if s2 is None else s2 + (flat ** 2).sum(0)
-            count += flat.shape[0]
+
+            # standardization sums on device: downloading the full pair
+            # descriptor tensor runs ~0.2 MB/s through the remote relay
+            def desc_sums(disp_d, mask_d):
+                desc = pair_descriptors(disp_d, mask_d, sec.cutoff,
+                                        sec.num_radial, sec.num_3body)
+                m = mask_d[..., None].astype(desc.dtype)
+                dm = desc * m
+                return (dm.sum((0, 1, 2)), (dm * dm).sum((0, 1, 2)),
+                        mask_d.sum())
+
+            sb, ssq, cnt = jax.jit(desc_sums)(jnp.asarray(disp),
+                                              jnp.asarray(mask))
+            sb = np.asarray(sb, np.float64)
+            ssq = np.asarray(ssq, np.float64)
+            s1 = sb if s1 is None else s1 + sb
+            s2 = ssq if s2 is None else s2 + ssq
+            count += int(cnt)
             self.buckets.append({
-                "disp": jnp.asarray(disp), "jidx": jnp.asarray(jidx),
-                "mask": jnp.asarray(mask), "types": jnp.asarray(types),
-                "nat": jnp.asarray(nat), "real": jnp.asarray(real),
-                "e_target": jnp.asarray(e_t / np.maximum(nat, 1)),
-                "f_target": jnp.asarray(f_t),
-                "ew": jnp.asarray(ew), "fw": jnp.asarray(fw),
+                "disp": disp, "jidx": jidx,
+                "mask": mask, "types": types,
+                "nat": nat, "real": real,
+                "e_target": np.asarray(e_t / np.maximum(nat, 1), dtype),
+                "f_target": f_t,
+                "ew": ew, "fw": fw,
                 "test": test, "groups": groups, "files": files,
                 "nat_host": nat,
                 "shape": (a_pad, k_pad), "dtype": dtype,
@@ -209,8 +245,8 @@ class NetworkSolver(Solver):
         var = s2 / count - mean ** 2
         std = np.sqrt(np.clip(var, 0, None))
         std[std < 1e-8] = 1.0
-        self.mean = jnp.asarray(mean, dtype)
-        self.std = jnp.asarray(std, dtype)
+        self.mean = jnp.asarray(np.asarray(mean, dtype))
+        self.std = jnp.asarray(np.asarray(std, dtype))
         self._custom_sec = sec
         return self.buckets
 
@@ -250,28 +286,45 @@ class NetworkSolver(Solver):
                 test[j] = bool(d["test_bool"])
                 groups.append(d["Group"])
                 files.append(str(d.get("File", "")))
-            fn = jax.jit(jax.vmap(prep))
-            chunk = int(min(32, max(1, 1024 // a_pad)))
-            Bs = []
-            for c0 in range(0, n, chunk):
-                sl = slice(c0, min(n, c0 + chunk))
-                pad = chunk - (sl.stop - sl.start)
-                args = [np.concatenate([x[sl]] + ([x[:pad]] if pad else []))
-                        for x in (disp, jidx, mask, types, nat)]
-                B = fn(*[jnp.asarray(x) for x in args])
-                Bs.append(B[:sl.stop - sl.start])
-            B = jnp.concatenate(Bs)
+            # one jitted program per bucket; B stays device-resident and
+            # the standardization sums come back as W-vectors (see
+            # prepare_dataset for the remote-relay rationale)
+            chunk = int(min(32, max(1, 1024 // a_pad), n))
+            C = -(-n // chunk)
+            n_pad = C * chunk
+
+            def pad_c(x):
+                # cyclic repeat (np.resize) pads the tail chunk even when
+                # the bucket is smaller than one chunk
+                reps = np.resize(x, (n_pad,) + x.shape[1:]) \
+                    if n_pad > n else x
+                return reps.reshape((C, chunk) + x.shape[1:])
+
+            def prep_bucket(dispC, jidxC, maskC, typesC, natC):
+                def body(_, ch):
+                    return None, jax.vmap(prep)(*ch)
+                _, B = jax.lax.scan(
+                    body, None, (dispC, jidxC, maskC, typesC, natC))
+                B = B.reshape((n_pad,) + B.shape[2:])[:n]
+                natf = natC.reshape(n_pad)[:n]
+                realr = jnp.arange(a_pad)[None, :] < natf[:, None]
+                Bm = B * realr[:, :, None]
+                return B, Bm.sum((0, 1)), (Bm * Bm).sum((0, 1)), realr.sum()
+
+            B, sb, ssq, cnt = jax.jit(prep_bucket)(
+                *[jnp.asarray(pad_c(x))
+                  for x in (disp, jidx, mask, types, nat)])
             real = (np.arange(a_pad)[None, :] < nat[:, None])
-            Bh = np.asarray(B)[real]
-            sum_b = Bh.sum(0) if sum_b is None else sum_b + Bh.sum(0)
-            sumsq_b = (Bh ** 2).sum(0) if sumsq_b is None \
-                else sumsq_b + (Bh ** 2).sum(0)
-            count += Bh.shape[0]
+            sb = np.asarray(sb, np.float64)
+            ssq = np.asarray(ssq, np.float64)
+            sum_b = sb if sum_b is None else sum_b + sb
+            sumsq_b = ssq if sumsq_b is None else sumsq_b + ssq
+            count += int(cnt)
             self.buckets.append({
-                "B": B, "types": jnp.asarray(types),
-                "nat": jnp.asarray(nat), "real": jnp.asarray(real),
-                "pas_target": jnp.asarray(chis),
-                "ew": jnp.asarray(ew),
+                "B": B, "types": types,
+                "nat": nat, "real": real,
+                "pas_target": chis,
+                "ew": ew,
                 "test": test, "groups": groups, "files": files,
                 "nat_host": nat,
                 "shape": (a_pad, k_pad), "dtype": dtype,
@@ -280,8 +333,8 @@ class NetworkSolver(Solver):
         var = sumsq_b / count - mean ** 2
         std = np.sqrt(np.clip(var, 0, None))
         std[std < 1e-8] = 1.0
-        self.mean = jnp.asarray(mean, dtype)
-        self.std = jnp.asarray(std, dtype)
+        self.mean = jnp.asarray(np.asarray(mean, dtype))
+        self.std = jnp.asarray(np.asarray(std, dtype))
         return self.buckets
 
     def _forward_pas(self, params, batch):
@@ -354,12 +407,6 @@ class NetworkSolver(Solver):
                       "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_PAS = ("B", "types", "real", "nat", "pas_target", "ew")
 
-    def _gather(self, ds, idx):
-        keys = (self._BATCH_KEYS_PAS if self.pas
-                else self._BATCH_KEYS_PW if self.pairwise
-                else self._BATCH_KEYS)
-        return {k: ds[k][idx] for k in keys}
-
     def _loss(self, params, batch, axis=None):
         """Weighted MSE loss of one minibatch.
 
@@ -419,7 +466,7 @@ class NetworkSolver(Solver):
         nelem_net = desc_sec.numtypes if net.multi_element_option == 2 else 1
         if net.multi_element_option != 2:
             for ds in self.buckets:
-                ds["types"] = jnp.zeros_like(ds["types"])
+                ds["types"] = np.zeros_like(ds["types"])
         key = jax.random.PRNGKey(13 if net.manual_seed_flag else
                                  int(time.time()) % 2 ** 31)
         dtype = jnp.float32 if self.buckets[0]["dtype"] == np.float32 \
@@ -458,7 +505,8 @@ class NetworkSolver(Solver):
                     f"with multi_element_option="
                     f"{meta['multi_element_option']}, this fit uses "
                     f"{net.multi_element_option}")
-            self.params = [(jnp.asarray(w, dtype), jnp.asarray(b, dtype))
+            self.params = [(jnp.asarray(np.asarray(w, dtype)),
+                            jnp.asarray(np.asarray(b, dtype)))
                            for w, b in loaded]
             # the saved weights were trained against the SAVING fit's
             # descriptor standardization — restore it so resuming on
@@ -471,8 +519,8 @@ class NetworkSolver(Solver):
                         f"save_state_input {net.save_state_input!r} has "
                         f"descriptor mean of width {m.shape}, this fit "
                         f"computes {np.asarray(self.mean).shape}")
-                self.mean = jnp.asarray(m, dtype)
-                self.std = jnp.asarray(s, dtype)
+                self.mean = jnp.asarray(np.asarray(m, dtype))
+                self.std = jnp.asarray(np.asarray(s, dtype))
             self._warm_opt = meta.get("opt_state")
         # start the output bias at the mean per-atom energy target so the
         # network doesn't spend epochs learning the cohesive-energy offset
@@ -568,7 +616,7 @@ class NetworkSolver(Solver):
             perms = np.stack([
                 (rng.permutation(tr) if net.shuffle_flag else np.asarray(tr))
                 [:nst * bsz].reshape(nst, bsz) for _ in range(E)])
-            train_perms.append(jnp.asarray(perms, jnp.int32))
+            train_perms.append(jnp.asarray(np.asarray(perms, np.int32)))
             tkeys.append(bi)
         val_plans, vkeys = [], []
         for bi, va in enumerate(val_sets):
@@ -579,8 +627,8 @@ class NetworkSolver(Solver):
             if len(va) < bsz:
                 va = np.resize(va, bsz)
             nst = (len(va) - bsz) // bsz + 1
-            val_plans.append(jnp.asarray(
-                va[:nst * bsz].reshape(nst, bsz), jnp.int32))
+            val_plans.append(jnp.asarray(np.asarray(
+                va[:nst * bsz].reshape(nst, bsz), np.int32)))
             vkeys.append(bi)
 
         batch_keys = (self._BATCH_KEYS_PAS if self.pas
@@ -707,28 +755,37 @@ class NetworkSolver(Solver):
     def evaluate_bucket(self, ds, chunk=32):
         """Predictions for every config in one bucket."""
         n = int(ds["nat"].shape[0])
+        # ONE jitted program per bucket: scan over fixed-size index chunks,
+        # gathers under jit (eager per-chunk gathers on device-resident
+        # B/G each cost a compile/program-load through the remote relay)
+        fwd = (self._forward_pas if self.pas
+               else self._forward_pairwise if self.pairwise
+               else self._forward_batch)
+        keys = (self._BATCH_KEYS_PAS if self.pas
+                else self._BATCH_KEYS_PW if self.pairwise
+                else self._BATCH_KEYS)
+        C = -(-n // chunk)
+        idxs = np.minimum(np.arange(C * chunk), n - 1) \
+            .reshape(C, chunk).astype(np.int32)
+
+        def run(params, idxs, bufs):
+            def body(_, idx):
+                return None, fwd(params, {k: v[idx]
+                                          for k, v in bufs.items()})
+            _, out = jax.lax.scan(body, None, idxs)
+            return out
+
+        if self._fwd_jit is None:
+            self._fwd_jit = jax.jit(run)
+        bufs = {k: jnp.asarray(ds[k]) for k in keys}
+        out = self._fwd_jit(self.params, jnp.asarray(idxs), bufs)
         if self.pas:
-            fwd = jax.jit(self._forward_pas)
-            preds = []
-            for c0 in range(0, n, chunk):
-                idx = np.arange(c0, min(n, c0 + chunk))
-                pad = chunk - len(idx)
-                idxp = np.concatenate([idx, np.zeros(pad, int)]) \
-                    if pad else idx
-                p = fwd(self.params, self._gather(ds, jnp.asarray(idxp)))
-                preds.append(np.asarray(p)[:len(idx)])
-            return np.concatenate(preds), None
-        fwd = jax.jit(self._forward_pairwise if self.pairwise
-                      else self._forward_batch)
-        es, fs_ = [], []
-        for c0 in range(0, n, chunk):
-            idx = np.arange(c0, min(n, c0 + chunk))
-            pad = chunk - len(idx)
-            idxp = np.concatenate([idx, np.zeros(pad, int)]) if pad else idx
-            e, f = fwd(self.params, self._gather(ds, jnp.asarray(idxp)))
-            es.append(np.asarray(e)[:len(idx)])
-            fs_.append(np.asarray(f)[:len(idx)])
-        return np.concatenate(es), np.concatenate(fs_)
+            p = np.asarray(out).reshape((C * chunk,) + out.shape[2:])[:n]
+            return p, None
+        e, f = out
+        e = np.asarray(e).reshape(C * chunk)[:n]
+        f = np.asarray(f).reshape((C * chunk,) + f.shape[2:])[:n]
+        return e, f
 
     def _error_analysis_pas(self):
         from pandas import DataFrame
