@@ -44,6 +44,41 @@ def _pad_to(x, buckets):
     return ((int(x) + 127) // 128) * 128
 
 
+def coalesce_shape_buckets(buckets, max_programs=None):
+    """Merge (a_pad, k_pad) shape buckets into <= max_programs covering
+    shapes, greedily picking the merge that adds the least padded work
+    (n * a_pad * k_pad proxy).
+
+    Every distinct shape is a separate XLA program; through the remote-TPU
+    relay each program costs seconds of compile or persistent-cache load,
+    which dominates small fits.  Default cap from FITSNAP_TPU_NN_PROGRAMS
+    (4).  Returns the same {(a_pad, k_pad): [config indices]} mapping.
+    """
+    import os
+    if max_programs is None:
+        max_programs = int(os.environ.get("FITSNAP_TPU_NN_PROGRAMS", "4"))
+    items = [{"a": a, "k": k, "idxs": list(v)}
+             for (a, k), v in sorted(buckets.items())]
+
+    def cost(it, a=None, k=None):
+        return len(it["idxs"]) * (a or it["a"]) * (k or it["k"])
+
+    while len(items) > max_programs:
+        best = None
+        for i, s in enumerate(items):
+            for j, d in enumerate(items):
+                if i == j:
+                    continue
+                a, k = max(s["a"], d["a"]), max(s["k"], d["k"])
+                added = cost(s, a, k) + cost(d, a, k) - cost(s) - cost(d)
+                if best is None or added < best[0]:
+                    best = (added, i, j, a, k)
+        _, i, j, a, k = best
+        items[j] = {"a": a, "k": k, "idxs": items[j]["idxs"] + items[i]["idxs"]}
+        del items[i]
+    return {(it["a"], it["k"]): it["idxs"] for it in items}
+
+
 @dataclass
 class PackedConfig:
     pos: np.ndarray

@@ -119,19 +119,30 @@ def plan_shift_groups(packed, cutoff):
     return groups
 
 
-def plan_pos_buckets(packed, cutoff, max_programs=10):
+def plan_pos_buckets(packed, cutoff, max_programs=10, program_cost=None,
+                     units_per_sec=1.0e8):
     """Shape plan for the positions/device-neighbor path on large datasets.
 
     `plan_shift_groups` pads every config in a shift group to the group max
     natoms — ruinous when a group mixes 8-atom EOS cells with 512-atom
     surfaces (WBe).  Here configs bucket by (shift extent, natoms bucket,
-    kmax bucket), then buckets greedily coalesce into covering shapes until
-    at most `max_programs` distinct XLA programs remain (each distinct shape
-    is one ~20 s compile through the remote TPU service), choosing the merge
-    with the least added padding work at each step.
+    kmax bucket), then buckets greedily coalesce into covering shapes,
+    choosing the merge with the least added padding work at each step.
+
+    Merging continues while the cheapest merge costs less padding compute
+    than one program's fixed cost (compile / persistent-cache load +
+    dispatch — ~6 s measured through the remote TPU relay; tune with
+    `program_cost` seconds or FITSNAP_TPU_PROGRAM_COST), and in any case
+    until at most `max_programs` shapes remain.  `units_per_sec` calibrates
+    the cost proxy to wall clock (measured: ~1e8 units/s on v5e,
+    `benchmarks/kernel_probe.py`).
 
     Returns the same group dicts as `plan_shift_groups`.
     """
+    import os
+    if program_cost is None:
+        program_cost = float(os.environ.get(
+            "FITSNAP_TPU_PROGRAM_COST", "6.0"))
     from fitsnap_tpu.calculators.snap import _A_BUCKETS, _K_BUCKETS, _pad_to
     from fitsnap_tpu.ops.neighbors import (count_neighbors, required_shifts,
                                            shift_table)
@@ -157,7 +168,8 @@ def plan_pos_buckets(packed, cutoff, max_programs=10):
         return len(g["configs"]) * (a * S * a + 30 * a * k)
 
     items = list(groups.values())
-    while len(items) > max_programs:
+    merge_budget = program_cost * units_per_sec
+    while len(items) > 1:
         best = None
         for i, src in enumerate(items):
             for j, dst in enumerate(items):
@@ -170,7 +182,9 @@ def plan_pos_buckets(packed, cutoff, max_programs=10):
                          - cost(src) - cost(dst))
                 if best is None or added < best[0]:
                     best = (added, i, j, a, k, nv)
-        _, i, j, a, k, nv = best
+        added, i, j, a, k, nv = best
+        if len(items) <= max_programs and added > merge_budget:
+            break
         items[j] = {"configs": items[j]["configs"] + items[i]["configs"],
                     "nvec": nv, "a_pad": a, "k_pad": k}
         del items[i]

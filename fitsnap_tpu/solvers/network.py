@@ -55,7 +55,9 @@ class NetworkSolver(Solver):
             return self._prepare_pairwise(calculator, data)
         if self.pas:
             return self._prepare_pas(calculator, data)
+        from fitsnap_tpu.calculators.snap import coalesce_shape_buckets
         packed, shape_buckets = calculator.host_preprocess(data)
+        shape_buckets = coalesce_shape_buckets(shape_buckets)
         dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
         prep = calculator.nn_prep_fn()
 
@@ -175,7 +177,9 @@ class NetworkSolver(Solver):
         from fitsnap_tpu.ops.custom_desc import pair_descriptors
         from fitsnap_tpu.ops.refpot import reference_eav
 
+        from fitsnap_tpu.calculators.snap import coalesce_shape_buckets
         packed, shape_buckets = calculator.host_preprocess(data)
+        shape_buckets = coalesce_shape_buckets(shape_buckets)
         sec = calculator.sec
         dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
         self.buckets = []
@@ -253,7 +257,9 @@ class NetworkSolver(Solver):
     def _prepare_pas(self, calculator, data):
         """Per-atom-scalar mode: descriptors + per-atom 'Chis' truths, no
         jacobian/forces (reference calculator.py:103-108, pas.py)."""
+        from fitsnap_tpu.calculators.snap import coalesce_shape_buckets
         packed, shape_buckets = calculator.host_preprocess(data)
+        shape_buckets = coalesce_shape_buckets(shape_buckets)
         dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
         prep = calculator.nn_desc_fn()
         self.buckets = []
@@ -596,11 +602,14 @@ class NetworkSolver(Solver):
                 bsz = ndev * max(1, bsz // ndev)
             return bsz
 
-        # The ENTIRE training runs as one jitted scan over epochs (inner
+        # Training runs as jitted scans over fixed-size epoch BLOCKS (inner
         # scans over minibatches), with all epochs' shuffled index arrays
-        # precomputed on host.  One device call instead of
-        # epochs x minibatches dispatches — through a remote TPU each
-        # dispatch costs ~30 ms of latency, which dominated training.
+        # precomputed on host.  Blocks instead of per-minibatch dispatch:
+        # through a remote TPU each dispatch costs ~30 ms of latency, which
+        # dominated training.  Blocks instead of one whole-run scan: the
+        # block program is independent of num_epochs, so changing the epoch
+        # count (the normal tuning loop) never recompiles — at most two
+        # programs exist, the BLOCK-epoch one and the remainder.
         # Batches run bucket-sequential within an epoch (the per-minibatch
         # loop shuffled across buckets; Adam sees the same minibatches in a
         # slightly different order).
@@ -616,7 +625,7 @@ class NetworkSolver(Solver):
             perms = np.stack([
                 (rng.permutation(tr) if net.shuffle_flag else np.asarray(tr))
                 [:nst * bsz].reshape(nst, bsz) for _ in range(E)])
-            train_perms.append(jnp.asarray(np.asarray(perms, np.int32)))
+            train_perms.append(np.asarray(perms, np.int32))
             tkeys.append(bi)
         val_plans, vkeys = [], []
         for bi, va in enumerate(val_sets):
@@ -689,13 +698,10 @@ class NetworkSolver(Solver):
             return (params, opt_state, best_val, best_params, best_opt), \
                 (tl, vl)
 
-        def train_all(params, opt_state, perms, bufs, vplans):
-            init = (params, opt_state, jnp.asarray(np.inf), params, opt_state)
-            (params, opt_state, best_val, best_params, best_opt), hist = \
-                jax.lax.scan(partial(epoch_body, bufs, vplans), init, perms)
-            return params, best_params, best_opt, hist
+        def train_block(carry, perms, bufs, vplans):
+            return jax.lax.scan(partial(epoch_body, bufs, vplans),
+                                carry, perms)
 
-        perms_stacked = tuple(train_perms)
         vplans_t = tuple(val_plans)
         if ndev > 1:
             # SPMD over the dp mesh: datasets and params replicated, every
@@ -704,18 +710,30 @@ class NetworkSolver(Solver):
             from jax.sharding import Mesh, PartitionSpec as P
             mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("dp",))
             train_fn = jax.jit(jax.shard_map(
-                train_all, mesh=mesh,
-                in_specs=(P(), P(),
-                          tuple(P(None, None, "dp") for _ in perms_stacked),
+                train_block, mesh=mesh,
+                in_specs=((P(),) * 5,
+                          tuple(P(None, None, "dp") for _ in train_perms),
                           tuple(P() for _ in dev_buckets),
                           tuple(P(None, "dp") for _ in vplans_t)),
-                out_specs=(P(), P(), P(), (P(), P())),
+                out_specs=((P(),) * 5, (P(), P())),
                 check_vma=False))
         else:
-            train_fn = jax.jit(train_all)
-        _, best_params, best_opt, hist = train_fn(
-            self.params, opt_state, perms_stacked, dev_buckets, vplans_t)
-        tls, vls = [np.asarray(x) for x in hist]
+            train_fn = jax.jit(train_block)
+        BLOCK = 8
+        carry = (self.params, opt_state, jnp.asarray(np.inf),
+                 self.params, opt_state)
+        tls_l, vls_l = [], []
+        e0 = 0
+        while e0 < E:
+            eb = min(BLOCK, E - e0)
+            blk = tuple(jnp.asarray(p[e0:e0 + eb]) for p in train_perms)
+            carry, hist = train_fn(carry, blk, dev_buckets, vplans_t)
+            tls_l.append(np.asarray(hist[0]))
+            vls_l.append(np.asarray(hist[1]))
+            e0 += eb
+        _, _, _, best_params, best_opt = carry
+        tls = np.concatenate(tls_l) if tls_l else np.zeros(0)
+        vls = np.concatenate(vls_l) if vls_l else np.zeros(0)
         self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
         self.params = best_params
         self.fit = None  # nonlinear: no coefficient vector
