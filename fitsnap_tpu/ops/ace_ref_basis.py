@@ -85,9 +85,25 @@ def tree_l_inters(l, L_R=0):
             for L4 in range(abs(L1 - L2), L1 + L2 + 1):
                 if check_triangle(L3, L4, L_R):
                     out.append((L1, L2, L3, L4))
+    elif rank == 7:
+        # pairs -> L1,L2,L3; L4 = L1(x)L2, L5 = L3(x)l[6]; L4(x)L5 -> L_R
+        # (gen_labels.py:438-452)
+        for L1, L2, L3 in itertools.product(*pair_inters):
+            for L4 in range(abs(L1 - L2), L1 + L2 + 1):
+                for L5 in range(abs(L3 - l[rem]), L3 + l[rem] + 1):
+                    if check_triangle(L4, L5, L_R):
+                        out.append((L1, L2, L3, L4, L5))
+    elif rank == 8:
+        # pairs -> L1..L4; L5 = L1(x)L2, L6 = L3(x)L4; L5(x)L6 -> L_R
+        # (gen_labels.py:453-468)
+        for L1, L2, L3, L4 in itertools.product(*pair_inters):
+            for L5 in range(abs(L1 - L2), L1 + L2 + 1):
+                for L6 in range(abs(L3 - L4), L3 + L4 + 1):
+                    if check_triangle(L5, L6, L_R):
+                        out.append((L1, L2, L3, L4, L5, L6))
     else:
         raise NotImplementedError(
-            f"reference coupling trees implemented for rank <= 6, got {rank}")
+            f"reference coupling trees implemented for rank <= 8, got {rank}")
     return out
 
 
@@ -173,9 +189,63 @@ def tree_coupling(l, inter, L_R=0, M_R=0):
                             + L_R - M_R)
             if w != 0.0:
                 terms[(m1, m2, m3, m4, m5, m6)] = w
+    elif rank == 7:
+        # tree: (m1+m2)->M1, (m3+m4)->M2, (m5+m6)->M3, M1+M2->M4,
+        # M3+m7->M5, M4+M5->M_R (wigner_tree.py rank_7_tree).  m7 is fully
+        # determined by the projection constraints, so loop pairs only.
+        L1, L2, L3, L4, L5 = inter
+        for m1, m2, m3, m4, m5, m6 in itertools.product(*mranges[:6]):
+            M1, M2, M3 = m1 + m2, m3 + m4, m5 + m6
+            M4 = M1 + M2
+            if abs(M1) > L1 or abs(M2) > L2 or abs(M3) > L3 or abs(M4) > L4:
+                continue
+            m7 = M_R - M4 - M3
+            M5 = M3 + m7
+            if abs(m7) > l[6] or abs(M5) > L5:
+                continue
+            w = (wigner_3j(l[0], m1, l[1], m2, L1, -M1)
+                 * wigner_3j(l[2], m3, l[3], m4, L2, -M2)
+                 * wigner_3j(l[4], m5, l[5], m6, L3, -M3)
+                 * wigner_3j(L1, M1, L2, M2, L4, -M4)
+                 * wigner_3j(L3, M3, l[6], m7, L5, -M5)
+                 * wigner_3j(L4, M4, L5, M5, L_R, -M_R))
+            w *= (-1.0) ** (L1 + L2 + L3 + L4 + L5
+                            - M1 - M2 - M3 - M4 - M5 + L_R - M_R)
+            if w != 0.0:
+                terms[(m1, m2, m3, m4, m5, m6, m7)] = w
+    elif rank == 8:
+        # tree: pair sums M1..M4, M1+M2->M5, M3+M4->M6, M5+M6->M_R.  The
+        # reference's rank_8_tree (wigner_tree.py:310) crashes on an
+        # undefined M6, so this branch is validated by rotational invariance
+        # (tests/test_ace_ref_basis.py) rather than against its output.
+        L1, L2, L3, L4, L5, L6 = inter
+        for m1, m2, m3, m4, m5, m6 in itertools.product(*mranges[:6]):
+            M1, M2, M3 = m1 + m2, m3 + m4, m5 + m6
+            M5 = M1 + M2
+            if abs(M1) > L1 or abs(M2) > L2 or abs(M3) > L3 or abs(M5) > L5:
+                continue
+            M6 = M_R - M5
+            M4 = M6 - M3
+            if abs(M6) > L6 or abs(M4) > L4:
+                continue
+            for m7 in mranges[6]:
+                m8 = M4 - m7
+                if abs(m8) > l[7]:
+                    continue
+                w = (wigner_3j(l[0], m1, l[1], m2, L1, -M1)
+                     * wigner_3j(l[2], m3, l[3], m4, L2, -M2)
+                     * wigner_3j(l[4], m5, l[5], m6, L3, -M3)
+                     * wigner_3j(l[6], m7, l[7], m8, L4, -M4)
+                     * wigner_3j(L1, M1, L2, M2, L5, -M5)
+                     * wigner_3j(L3, M3, L4, M4, L6, -M6)
+                     * wigner_3j(L5, M5, L6, M6, L_R, -M_R))
+                w *= (-1.0) ** (L1 + L2 + L3 + L4 + L5 + L6
+                                - M1 - M2 - M3 - M4 - M5 - M6 + L_R - M_R)
+                if w != 0.0:
+                    terms[(m1, m2, m3, m4, m5, m6, m7, m8)] = w
     else:
         raise NotImplementedError(
-            f"reference coupling trees implemented for rank <= 6, got {rank}")
+            f"reference coupling trees implemented for rank <= 8, got {rank}")
     return {k: v for k, v in terms.items() if abs(v) > 1e-16}
 
 
@@ -234,19 +304,28 @@ def generate_nl_labels(rank, nmax, lmax, mumax=1, lmin=0, L_R=0):
 
 def _tree_group(rank):
     """Leaf permutations that map the pairwise coupling tree onto itself:
-    swapping the two leaves inside any pair, and swapping the first two
-    pairs (they feed the same internal node for ranks 4-6).  Returns a
-    list of index tuples p with p[i] = source slot of new slot i."""
+    swapping the two leaves inside any pair, swapping sibling pairs that
+    feed the same internal node (pairs 0,1 for ranks 4-7; also pairs 2,3
+    and the two super-nodes for rank 8).  Returns a list of index tuples
+    p with p[i] = source slot of new slot i."""
     nodes, rem = _pair_nodes(rank)
     k = len(nodes)
+    pair_orders = [list(range(k))]
+    if k >= 2:
+        pair_orders = [[1, 0] + list(range(2, k))] + pair_orders
+    if k == 4:
+        # rank 8: pairs (2,3) feed L6 like (0,1) feed L5, and the two
+        # super-nodes L5/L6 feed L_R symmetrically
+        orders = []
+        for o in ([0, 1], [1, 0]):
+            for p in ([2, 3], [3, 2]):
+                orders.append(o + p)
+                orders.append(p + o)
+        pair_orders = orders
     perms = []
-    swappable = [0, 1] if k >= 2 else [0]
     for flips in itertools.product([False, True], repeat=k):
-        for swap01 in ([False, True] if k >= 2 else [False]):
+        for order in pair_orders:
             idx = []
-            order = list(range(k))
-            if swap01:
-                order[0], order[1] = order[1], order[0]
             for pi in order:
                 a, b = nodes[pi]
                 idx += [b, a] if flips[pi] else [a, b]

@@ -261,6 +261,121 @@ def test_ta_pace_ard_acceptance(tmp_path, monkeypatch):
     assert abs(m["Force"] - 0.0598852) / 0.0598852 < 0.10, m
 
 
+# ---------------------------------------------------------------------------
+# rank 7/8 coupling trees
+#
+# The reference's own rank-8 tree code crashes on an undefined variable
+# (lib/sym_ACE/wigner_couple.py rank_8_tree uses M6 before assignment), so
+# there is no output oracle for these ranks.  The mathematical ground truth
+# is used instead: a valid scalar (L_R=0) coupling makes the contraction
+#   B = sum_m c_m * prod_i A_{l_i m_i},   A_{lm} = sum_j Y_lm(r_j)
+# exactly invariant under global rotations of the point set, and couplings
+# with different intermediate-L tuples are mutually orthogonal.  The harness
+# itself is validated at rank 6, whose couplings ARE parity-checked against
+# the shipped .yace standard above.
+# ---------------------------------------------------------------------------
+
+def _A_moments(lset, vecs):
+    """{l: {m: sum_j Y_lm(r_j)}} with scipy's Y_lm convention."""
+    from scipy.special import sph_harm_y
+
+    r = np.linalg.norm(vecs, axis=1)
+    theta = np.arccos(vecs[:, 2] / r)
+    phi = np.arctan2(vecs[:, 1], vecs[:, 0])
+    return {l: {m: complex(sph_harm_y(l, m, theta, phi).sum())
+                for m in range(-l, l + 1)} for l in lset}
+
+
+def _contract(l, terms, vecs):
+    A = _A_moments(set(l), vecs)
+    tot = 0.0 + 0.0j
+    for mvec, c in terms.items():
+        prod = c
+        for li, mi in zip(l, mvec):
+            prod *= A[li][mi]
+        tot += prod
+    return tot
+
+
+@pytest.mark.parametrize("l", [
+    (1, 1, 1, 1, 1, 1),          # rank-6 harness check (yace-validated rank)
+    (1, 1, 1, 1, 1, 1, 2),       # rank 7 (sum(l) even, as the label
+    (1, 1, 1, 2, 2, 1, 2),       # rank 7, mixed    generator's parity filter)
+    (1, 1, 1, 1, 1, 1, 1, 1),    # rank 8, uniform
+    (1, 2, 1, 1, 2, 1, 2, 2),    # rank 8, mixed
+])
+def test_high_rank_coupling_rotational_invariance(l):
+    from scipy.spatial.transform import Rotation
+
+    from fitsnap_tpu.ops.ace_ref_basis import tree_coupling, tree_l_inters
+
+    rng = np.random.default_rng(len(l) * 1000 + sum(l))
+    vecs = rng.normal(size=(6, 3))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    inters = tree_l_inters(list(l), L_R=0)
+    assert inters, f"no valid intermediates for l={l}"
+    checked = 0
+    for inter in inters:
+        if checked >= 4:
+            break
+        terms = tree_coupling(list(l), inter)
+        if not terms:
+            continue
+        b0 = _contract(l, terms, vecs)
+        if abs(b0) < 1e-10:
+            # couplings antisymmetric under a same-l pair swap contract to
+            # an identically-zero B on symmetric A-products — skip those
+            continue
+        checked += 1
+        for seed in (1, 2):
+            R = Rotation.random(random_state=seed).as_matrix()
+            b1 = _contract(l, terms, vecs @ R.T)
+            assert abs(b1 - b0) < 1e-9 * max(1.0, abs(b0)), \
+                f"l={l} inter={inter}: {b0} -> {b1}"
+    assert checked >= 2
+
+
+@pytest.mark.parametrize("l", [
+    (1, 1, 1, 1, 1, 1),
+    (1, 1, 1, 1, 1, 1, 1),
+    (1, 1, 1, 1, 1, 1, 1, 1),
+])
+def test_high_rank_coupling_orthogonality(l):
+    """Couplings with distinct intermediate-L tuples are orthogonal vectors
+    in m-space — the defining property of the recoupling-tree basis."""
+    from fitsnap_tpu.ops.ace_ref_basis import tree_coupling, tree_l_inters
+
+    inters = [i for i in tree_l_inters(list(l), L_R=0)]
+    tables = [(i, tree_coupling(list(l), i)) for i in inters]
+    tables = [(i, t) for i, t in tables if t]
+    assert len(tables) >= 2
+    for a in range(len(tables)):
+        ia, ta = tables[a]
+        na = sum(v * v for v in ta.values())
+        assert na > 1e-12
+        for b in range(a + 1, len(tables)):
+            ib, tb = tables[b]
+            dot = sum(ta[k] * tb.get(k, 0.0) for k in ta)
+            nb = sum(v * v for v in tb.values())
+            assert abs(dot) < 1e-10 * (na * nb) ** 0.5, \
+                f"l={l}: inters {ia} and {ib} not orthogonal ({dot})"
+
+
+def test_rank7_rank8_minsub_labels_flow():
+    """pa_labels (minsub) produces labels at ranks 7-8 and every label's
+    coupling table is non-empty — the generator surface the reference
+    advertises (ACE section accepts ranks to 8) but cannot deliver."""
+    from fitsnap_tpu.ops.ace_ref_basis import pa_labels, tree_coupling
+
+    for rank, lmax in ((7, 2), (8, 1)):   # rank-7 all-ones is parity-odd
+        labs = pa_labels(rank, nmax=1, lmax=lmax, mumax=1, lmin=1)
+        assert labs, f"no rank-{rank} labels"
+        for mus, ns, ls, Ls in labs[:3]:
+            assert len(ls) == rank and len(Ls) == {7: 5, 8: 6}[rank]
+            assert tree_coupling(list(ls), tuple(Ls))
+
+
 def test_plan_from_yace_roundtrip():
     from fitsnap_tpu.ops.ace import plan_from_yace, plan_terms
 
