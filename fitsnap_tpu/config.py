@@ -575,6 +575,20 @@ class NetworkSection:
         self.output_file = r.get(name, "output_file", "FitTorch_Pytorch.pt")
         self.dtype_str = r.get(name, "dtype", "float32")
         self.save_freq = r.get(name, "save_freq", "10", "int")
+        # descriptor-gradient strategy (this framework's extension; the
+        # reference always materializes dgrad rows, ~20 GB RAM at 10k
+        # configs, docs/source/Pytorch.rst:258-259):
+        #   precompute - store per-pair dB/dD once (fastest small datasets)
+        #   otf        - recompute descriptors inside the training step and
+        #                take forces by autodiff (memory O(atoms*neighbors),
+        #                datasets far beyond HBM-resident dgrad)
+        #   auto       - otf when the dgrad tensor would exceed
+        #                FITSNAP_TPU_NN_G_LIMIT bytes (default 2 GiB)
+        self.dgrad_mode = r.get(name, "dgrad_mode", "auto").lower()
+        if self.dgrad_mode not in ("auto", "precompute", "otf"):
+            raise ValueError(
+                f"[{name}] dgrad_mode must be auto/precompute/otf, "
+                f"got {self.dgrad_mode!r}")
         # accepted-for-compatibility (reference pytorch.py:13-15, jax.py:23)
         r.get(name, "num_elements", "0", "int")
         r.get(name, "silence_ace_multi_warning", "0", "bool")

@@ -44,6 +44,8 @@ class NetworkSolver(Solver):
         self.params = None
         self.history = []
         self._fwd_jit = None
+        self.otf = False        # on-the-fly dgrad (see NetworkSection)
+        self._desc_fwd = None
 
     # ------------- data -------------
 
@@ -59,6 +61,27 @@ class NetworkSolver(Solver):
         packed, shape_buckets = calculator.host_preprocess(data)
         shape_buckets = coalesce_shape_buckets(shape_buckets)
         dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+
+        # descriptor-gradient strategy: the reference always materializes
+        # dgrad rows (~20 GB RAM at 10k configs, docs/source/Pytorch.rst:
+        # 258-259); on TPU the dgrad tensor is the HBM hog, so above a size
+        # limit we recompute descriptors inside the training step and take
+        # forces by autodiff instead (FLOPs are cheap, HBM is not)
+        mode = getattr(self.net, "dgrad_mode", "auto")
+        if mode == "auto":
+            import os
+            limit = int(os.environ.get("FITSNAP_TPU_NN_G_LIMIT",
+                                       str(2 << 30)))
+            width = calculator.get_width()
+            g_bytes = sum(len(idxs) * a * k * width * 3
+                          * np.dtype(dtype).itemsize
+                          for (a, k), idxs in shape_buckets.items())
+            mode = "otf" if g_bytes > limit else "precompute"
+        self.otf = mode == "otf"
+        if self.otf:
+            self._desc_fwd = calculator.nn_desc_fn()
+            return self._prepare_otf(calculator, packed, shape_buckets,
+                                     dtype)
         prep = calculator.nn_prep_fn()
 
         self.buckets = []
@@ -153,6 +176,125 @@ class NetworkSolver(Solver):
                 "jidx": jidx,
                 "types": types,
                 "nat": nat,
+                "real": real,
+                "e_target": e_target,
+                "f_target": f_target,
+                "ew": ew, "fw": fw,
+                "test": test, "groups": groups, "files": files,
+                "nat_host": nat,
+                "shape": (a_pad, k_pad), "dtype": dtype,
+            })
+
+        mean = sum_b / count
+        var = sumsq_b / count - mean ** 2
+        std = np.sqrt(np.clip(var, 0, None))
+        std[std < 1e-8] = 1.0
+        self.mean = jnp.asarray(np.asarray(mean, dtype))
+        self.std = jnp.asarray(np.asarray(std, dtype))
+        return self.buckets
+
+    def _prepare_otf(self, calculator, packed, shape_buckets, dtype):
+        """On-the-fly dgrad mode: keep (disp, jidx, mask, types) device-
+        resident and recompute descriptors inside every training step;
+        forces come from autodiff through the descriptor kernel.  Memory is
+        O(atoms x neighbors) per config — no dgrad tensor ever exists —
+        so datasets far beyond the reference's ~20 GB / 10k-config RAM
+        footprint (docs/source/Pytorch.rst:258-267) train on one chip.
+        One forward pass here computes standardization stats and targets."""
+        from fitsnap_tpu.ops.refpot import reference_eav
+
+        desc = self._desc_fwd
+        refspec = calculator.refspec
+        self.buckets = []
+        sum_b = None
+        sumsq_b = None
+        count = 0
+        for (a_pad, k_pad), idxs in sorted(shape_buckets.items()):
+            n = len(idxs)
+            disp = np.zeros((n, a_pad, k_pad, 3), dtype)
+            jidx = np.zeros((n, a_pad, k_pad), np.int32)
+            mask = np.zeros((n, a_pad, k_pad), bool)
+            types = np.zeros((n, a_pad), np.int32)
+            nat = np.zeros((n,), np.int32)
+            e_t = np.zeros((n,), dtype)
+            f_t = np.zeros((n, a_pad, 3), dtype)
+            ew = np.zeros((n,), dtype)
+            fw = np.zeros((n,), dtype)
+            test = np.zeros((n,), bool)
+            groups = []
+            files = []
+            for j, i in enumerate(idxs):
+                pc = packed[i]
+                na, kc = pc.natoms, pc.kcount
+                disp[j, :na, :kc] = pc.disp[:, :kc]
+                jidx[j, :na, :kc] = pc.jidx[:, :kc]
+                mask[j, :na, :kc] = pc.mask[:, :kc]
+                types[j, :na] = pc.types
+                nat[j] = na
+                d = pc.data
+                e_t[j] = d["Energy"]
+                f_t[j, :na] = d["Forces"]
+                ew[j] = d.get("eweight", 1.0)
+                fw[j] = d.get("fweight", 1.0)
+                test[j] = bool(d["test_bool"])
+                groups.append(d["Group"])
+                files.append(str(d.get("File", "")))
+
+            # upload once; training gathers minibatches from these arrays
+            dd = jnp.asarray(disp)
+            jj = jnp.asarray(jidx)
+            mm = jnp.asarray(mask)
+            tt = jnp.asarray(types)
+            nad = jnp.asarray(nat)
+
+            chunk = int(min(32, max(1, 1024 // a_pad), n))
+            C = -(-n // chunk)
+            n_pad = C * chunk
+            idx_plan = np.minimum(np.arange(n_pad), n - 1) \
+                .reshape(C, chunk).astype(np.int32)
+            # the clipped tail duplicates config n-1: exclude from stats
+            valid = (np.arange(n_pad) < n).reshape(C, chunk)
+
+            def stats_bucket(dd, jj, mm, tt, nad, e_td, f_td, plan, val):
+                def body(_, ch):
+                    idx, v = ch
+                    d, j, m = dd[idx], jj[idx], mm[idx]
+                    t, na = tt[idx], nad[idx]
+                    B = jax.vmap(desc)(d, j, m, t, na)
+                    re_, rf_, _ = jax.vmap(
+                        lambda *a: reference_eav(*a, refspec))(d, j, m, t,
+                                                               na)
+                    realr = jnp.arange(B.shape[1])[None, :] < na[:, None]
+                    w = (realr & v[:, None]).astype(B.dtype)
+                    Bm = B * w[..., None]
+                    e_tgt = (e_td[idx] - re_) / jnp.maximum(na, 1)
+                    f_tgt = f_td[idx] - rf_
+                    return None, (e_tgt.astype(B.dtype),
+                                  f_tgt.astype(B.dtype),
+                                  Bm.sum((0, 1)), (Bm * B * w[..., None])
+                                  .sum((0, 1)), w.sum())
+
+                _, (e_tgt, f_tgt, sb, ssq, cnt) = jax.lax.scan(
+                    body, None, (plan, val))
+                return (e_tgt.reshape(n_pad)[:n],
+                        f_tgt.reshape(n_pad, dd.shape[1], 3)[:n],
+                        sb.sum(0), ssq.sum(0), cnt.sum())
+
+            e_target, f_target, sb, ssq, cnt = jax.jit(stats_bucket)(
+                dd, jj, mm, tt, nad, jnp.asarray(e_t), jnp.asarray(f_t),
+                jnp.asarray(idx_plan), jnp.asarray(valid))
+
+            real = (np.arange(a_pad)[None, :] < nat[:, None])
+            sb = np.asarray(sb, np.float64)
+            ssq = np.asarray(ssq, np.float64)
+            sum_b = sb if sum_b is None else sum_b + sb
+            sumsq_b = ssq if sumsq_b is None else sumsq_b + ssq
+            count += int(cnt)
+
+            self.buckets.append({
+                "disp": dd, "jidx": jj, "mask": mm, "types": tt,
+                "elem": types,           # network element index; may be
+                "nat": nat,              # zeroed for multi_element_option 1
                 "real": real,
                 "e_target": e_target,
                 "f_target": f_target,
@@ -407,8 +549,37 @@ class NetworkSolver(Solver):
         forces = -(scat - fpair.sum(axis=2))
         return e_per_atom, forces
 
+    def _forward_batch_otf(self, params, batch):
+        """OTF mode: descriptors recomputed in the forward pass, forces by
+        autodiff wrt the displacement tensor (the same scatter identity the
+        precomputed-G path contracts explicitly: dE/dr_i = scatter_j - row_i
+        of dE/dD)."""
+        desc = self._desc_fwd
+        mean, std = self.mean, self.std
+        nat = jnp.maximum(batch["nat"], 1).astype(batch["disp"].dtype)
+
+        def one(d, j, m, t, na, elem_c, real_c):
+            def etot(dd):
+                B = desc(dd, j, m, t, na)
+                x = (B - mean) / std
+                return jnp.sum(atom_energies(params, x, elem_c) * real_c)
+
+            e, dEdd = jax.value_and_grad(etot)(d)
+            A = d.shape[0]
+            oj = jax.nn.one_hot(j, A, dtype=d.dtype)
+            scat = jnp.einsum("akm,akc->mc", oj, dEdd)
+            return e, -(scat - dEdd.sum(1))
+
+        real = batch["real"].astype(batch["disp"].dtype)
+        e, f = jax.vmap(one)(batch["disp"], batch["jidx"], batch["mask"],
+                             batch["types"], batch["nat"], batch["elem"],
+                             real)
+        return e / nat, f
+
     _BATCH_KEYS = ("B", "G", "types", "real", "nat", "jidx",
                    "e_target", "f_target", "ew", "fw")
+    _BATCH_KEYS_OTF = ("disp", "jidx", "mask", "types", "elem", "real",
+                       "nat", "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_PW = ("disp", "mask", "types", "real", "nat", "jidx",
                       "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_PAS = ("B", "types", "real", "nat", "pas_target", "ew")
@@ -435,8 +606,9 @@ class NetworkSolver(Solver):
             res = (pred - batch["pas_target"]) * real
             na = jnp.maximum(ps(real.sum()), 1.0)
             return ps(jnp.sum(batch["ew"][:, None] * res ** 2)) / na
-        fwd = self._forward_pairwise if self.pairwise \
-            else self._forward_batch
+        fwd = (self._forward_pairwise if self.pairwise
+               else self._forward_batch_otf if self.otf
+               else self._forward_batch)
         e_pred, f_pred = fwd(params, batch)
         real = batch["real"].astype(e_pred.dtype)
         live = (batch["nat"] > 0).astype(e_pred.dtype)
@@ -472,7 +644,10 @@ class NetworkSolver(Solver):
         nelem_net = desc_sec.numtypes if net.multi_element_option == 2 else 1
         if net.multi_element_option != 2:
             for ds in self.buckets:
-                ds["types"] = np.zeros_like(ds["types"])
+                # OTF buckets carry the network element index separately
+                # ("elem"): descriptors still need the true atom types
+                key = "elem" if "elem" in ds else "types"
+                ds[key] = np.zeros((np.shape(ds[key])), np.int32)
         key = jax.random.PRNGKey(13 if net.manual_seed_flag else
                                  int(time.time()) % 2 ** 31)
         dtype = jnp.float32 if self.buckets[0]["dtype"] == np.float32 \
@@ -480,9 +655,11 @@ class NetworkSolver(Solver):
         if net.layer_sizes[0] == 0:
             # 'num_desc' placeholder unresolved at config time (ACE): use
             # the actual descriptor width of the prepared dataset
-            key0 = "B" if ("B" in self.buckets[0]) else "disp"
-            assert key0 == "B", "pairwise models resolve num_desc at config"
-            net.layer_sizes[0] = int(self.buckets[0]["B"].shape[-1])
+            assert not self.pairwise, \
+                "pairwise models resolve num_desc at config"
+            net.layer_sizes[0] = (int(self.buckets[0]["B"].shape[-1])
+                                  if "B" in self.buckets[0]
+                                  else int(np.asarray(self.mean).shape[0]))
         self.params = init_mlp(net.layer_sizes, nelem_net, key, dtype)
         warm_start = net.save_state_input and net.save_state_input != "None"
         self._warm_opt = None
@@ -642,6 +819,7 @@ class NetworkSolver(Solver):
 
         batch_keys = (self._BATCH_KEYS_PAS if self.pas
                       else self._BATCH_KEYS_PW if self.pairwise
+                      else self._BATCH_KEYS_OTF if self.otf
                       else self._BATCH_KEYS)
         # device-resident dataset passed as explicit jit args (closures
         # would bake the whole dataset into the executable as constants)
@@ -778,9 +956,11 @@ class NetworkSolver(Solver):
         # B/G each cost a compile/program-load through the remote relay)
         fwd = (self._forward_pas if self.pas
                else self._forward_pairwise if self.pairwise
+               else self._forward_batch_otf if self.otf
                else self._forward_batch)
         keys = (self._BATCH_KEYS_PAS if self.pas
                 else self._BATCH_KEYS_PW if self.pairwise
+                else self._BATCH_KEYS_OTF if self.otf
                 else self._BATCH_KEYS)
         C = -(-n // chunk)
         idxs = np.minimum(np.arange(C * chunk), n - 1) \

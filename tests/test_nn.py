@@ -285,3 +285,59 @@ def test_nn_save_state_restores_standardization_and_adam(nn_fixture,
          net.num_epochs, net.learning_rate) = old
         fs.solver.params = [(jnp.asarray(w), jnp.asarray(b))
                             for w, b in saved]
+
+
+def test_nn_otf_matches_precompute(tmp_path, monkeypatch):
+    """dgrad_mode=otf (descriptors recomputed in the training step, forces
+    by autodiff) must reproduce the precomputed-dgrad path: same loss
+    trajectory, same predictions.  The two paths evaluate the same math
+    with different contraction orders, so f64 agreement to ~1e-8 is the
+    correctness bar."""
+    monkeypatch.chdir(tmp_path)
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    # scrape once: the example's random_sampling=1 draws a different
+    # training subset per FitSnap instance (reference behavior)
+    fs0 = FitSnap(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" /
+                      "Ta-example.in"), arglist=["--overwrite"])
+    fs0.scrape_configs()
+    shared = [d for d in fs0.data if d["Group"] == "Displaced_BCC"][:4]
+
+    def run(mode):
+        fs = FitSnap(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" /
+                         "Ta-example.in"), arglist=["--overwrite"])
+        data = shared
+        net = fs.config.sections["PYTORCH"]
+        net.num_epochs = 2
+        net.manual_seed_flag = 1
+        net.dgrad_mode = mode
+        net.save_state_output = "None"
+        net.output_file = "None"
+        fs.solver.prepare_dataset(fs.calculator, data)
+        fs.solver.perform_fit(calculator=fs.calculator, data=data)
+        e, f = fs.solver.evaluate_bucket(fs.solver.buckets[0])
+        return fs.solver, np.asarray(fs.solver.history, float), e, f
+
+    s_pre, h_pre, e_pre, f_pre = run("precompute")
+    s_otf, h_otf, e_otf, f_otf = run("otf")
+    assert not s_pre.otf and s_otf.otf
+    assert "G" in s_pre.buckets[0] and "G" not in s_otf.buckets[0]
+    np.testing.assert_allclose(np.asarray(s_otf.mean), np.asarray(s_pre.mean),
+                               rtol=1e-10)
+    np.testing.assert_allclose(h_otf, h_pre, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(e_otf, e_pre, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(f_otf, f_pre, rtol=1e-6, atol=1e-8)
+
+
+def test_nn_dgrad_mode_auto_flips_on_size(monkeypatch):
+    """auto mode picks otf exactly when the would-be dgrad tensor exceeds
+    FITSNAP_TPU_NN_G_LIMIT."""
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    fs = FitSnap(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" / "Ta-example.in"),
+                 arglist=["--overwrite"])
+    fs.scrape_configs()
+    data = [d for d in fs.data if d["Group"] == "Displaced_BCC"][:2]
+    monkeypatch.setenv("FITSNAP_TPU_NN_G_LIMIT", "1")
+    fs.solver.prepare_dataset(fs.calculator, data)
+    assert fs.solver.otf
