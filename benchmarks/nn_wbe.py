@@ -1,0 +1,141 @@
+"""Full-dataset WBe NN training on one TPU chip (dgrad_mode=otf).
+
+The reference's published NN scaling anchor: ~10,000 configs x ~50 atoms
+(~500k atoms) trains at ~20 s/epoch with ~20 GB of dgrad RAM, and "NN
+training is single-process" (docs/source/Pytorch.rst:258-267).  The full
+WBe_PRB2019 dataset here is 25,422 configs / ~530k atoms — the same total
+atom count — at twojmax=8 (55 descriptors, per-element subnetworks).  The
+dgrad tensor the reference materializes would be ~36 GB at this padding;
+with dgrad_mode=otf it never exists: positions live on device, neighbor
+lists + descriptors are recomputed inside the jitted training step, and
+forces come from autodiff.
+
+Run: python benchmarks/nn_wbe.py [max_configs] [--epochs N] [--batch N]
+"""
+
+import os
+import sys
+import time
+
+JSON_DIR = "/root/reference/examples/WBe_PRB2019/JSON"
+
+
+def settings(epochs, batch_size):
+    groups = sorted(e for e in os.listdir(JSON_DIR)
+                    if os.path.isdir(os.path.join(JSON_DIR, e)))
+    return {
+        "BISPECTRUM": {
+            "numTypes": 2, "twojmax": "8 8", "rcutfac": 4.812302818,
+            "rfac0": 0.99363, "rmin0": 0.0, "wj": "1.0 0.9590493408",
+            "radelem": "0.5 0.417932464", "type": "W Be",
+            "wselfallflag": 0, "chemflag": 0, "bzeroflag": 1,
+            "quadraticflag": 0, "bikflag": 1, "dgradflag": 1,
+        },
+        "CALCULATOR": {"calculator": "LAMMPSSNAP", "energy": 1,
+                       "per_atom_energy": 1, "force": 1, "stress": 0,
+                       "nonlinear": 1},
+        "ESHIFT": {"W": 0.0, "Be": 0.0},
+        "PYTORCH": {
+            "layer_sizes": "num_desc 64 64 1",
+            "learning_rate": 1e-4,
+            "num_epochs": epochs,
+            "batch_size": batch_size,
+            "energy_weight": 1e-2,
+            "force_weight": 1.0,
+            "multi_element_option": 2,
+            "manual_seed_flag": 1,
+            "save_state_output": "None",
+            "output_file": "None",
+            "dgrad_mode": "otf",
+        },
+        "SOLVER": {"solver": "PYTORCH"},
+        "SCRAPER": {"scraper": "JSON"},
+        "PATH": {"dataPath": JSON_DIR},
+        "OUTFILE": {"metrics": "WBe_nn_metrics.md",
+                    "potential": "WBe_nn_pot"},
+        "REFERENCE": {
+            "units": "metal", "atom_style": "atomic",
+            "pair_style": "hybrid/overlay zero 10.0 zbl 4.0 4.8",
+            "pair_coeff1": "* * zero", "pair_coeff2": "1 1 zbl 74 74",
+            "pair_coeff3": "1 2 zbl 74 4", "pair_coeff4": "2 2 zbl 4 4",
+        },
+        "GROUPS": {
+            "group_sections": "name training_size testing_size "
+                              "eweight fweight vweight",
+            "group_types": "str float float float float float",
+            "smartweights": 0, "random_sampling": 0,
+            **{g: "1.0 0.0 1.0 1.0 1e-12" for g in groups},
+        },
+    }
+
+
+def run(limit=None, epochs=16, batch_size=16):
+    """Train the WBe NN; returns a result dict for bench.py."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    from fitsnap_tpu.fitsnap import FitSnap
+    from fitsnap_tpu.utils.jaxsetup import setup_cache, warm_transfers
+
+    setup_cache()
+    warm_transfers()
+    print(f"backend={jax.default_backend()}", flush=True)
+
+    t_all = time.time()
+    fs = FitSnap(settings(epochs, batch_size), arglist=["--overwrite"])
+    fs.scrape_configs()
+    data = fs.data[:limit] if limit else fs.data
+    t_scrape = time.time() - t_all
+    natoms = sum(int(d["NumAtoms"]) for d in data)
+    print(f"scraped {len(data)} configs / {natoms} atoms in {t_scrape:.1f}s",
+          flush=True)
+
+    t0 = time.time()
+    fs.solver.prepare_dataset(fs.calculator, data)
+    t_prep = time.time() - t0
+    assert fs.solver.otf, "expected the OTF path"
+    width = fs.calculator.get_width()
+    g_bytes = sum(int(np.prod(ds["shape"])) * len(ds["nat"]) * width * 3 * 4
+                  for ds in fs.solver.buckets)
+    print(f"prepare (stats pass) {t_prep:.1f}s; buckets "
+          f"{[(ds['shape'], len(ds['nat'])) for ds in fs.solver.buckets]}; "
+          f"dgrad tensor avoided: {g_bytes / 2**30:.1f} GiB", flush=True)
+
+    t0 = time.time()
+    fs.solver.perform_fit(calculator=fs.calculator, data=data)
+    t_fit = time.time() - t0
+    s_epoch = t_fit / max(epochs, 1)
+    total = time.time() - t_all
+    us_atom = s_epoch / max(natoms, 1) * 1e6
+    # reference anchor: 20 s/epoch over ~500k atoms = 40 us/(atom*epoch)
+    print(f"{epochs} epochs in {t_fit:.1f}s -> {s_epoch:.2f} s/epoch "
+          f"({us_atom:.1f} us/atom-epoch; reference ~40); "
+          f"final train loss {fs.solver.history[-1][1]:.6f}; "
+          f"TOTAL {total:.1f}s", flush=True)
+    return {
+        "configs": len(data),
+        "atoms": natoms,
+        "epochs": epochs,
+        "s_per_epoch": s_epoch,
+        "us_per_atom_epoch": us_atom,
+        "dgrad_gib_avoided": g_bytes / 2**30,
+        "final_train_loss": float(fs.solver.history[-1][1]),
+        "seconds": total,
+    }
+
+
+import numpy as np  # noqa: E402  (used in run)
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("max_configs", nargs="?", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=16)
+    a = ap.parse_args()
+    run(limit=a.max_configs, epochs=a.epochs, batch_size=a.batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -579,8 +579,9 @@ class NetworkSection:
         # reference always materializes dgrad rows, ~20 GB RAM at 10k
         # configs, docs/source/Pytorch.rst:258-259):
         #   precompute - store per-pair dB/dD once (fastest small datasets)
-        #   otf        - recompute descriptors inside the training step and
-        #                take forces by autodiff (memory O(atoms*neighbors),
+        #   otf        - keep only positions device-resident, build neighbor
+        #                lists on device, recompute descriptors inside the
+        #                training step, forces by autodiff (memory O(atoms),
         #                datasets far beyond HBM-resident dgrad)
         #   auto       - otf when the dgrad tensor would exceed
         #                FITSNAP_TPU_NN_G_LIMIT bytes (default 2 GiB)

@@ -46,6 +46,7 @@ class NetworkSolver(Solver):
         self._fwd_jit = None
         self.otf = False        # on-the-fly dgrad (see NetworkSection)
         self._desc_fwd = None
+        self._otf_cutoff = None
 
     # ------------- data -------------
 
@@ -57,9 +58,6 @@ class NetworkSolver(Solver):
             return self._prepare_pairwise(calculator, data)
         if self.pas:
             return self._prepare_pas(calculator, data)
-        from fitsnap_tpu.calculators.snap import coalesce_shape_buckets
-        packed, shape_buckets = calculator.host_preprocess(data)
-        shape_buckets = coalesce_shape_buckets(shape_buckets)
         dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
 
         # descriptor-gradient strategy: the reference always materializes
@@ -68,20 +66,26 @@ class NetworkSolver(Solver):
         # limit we recompute descriptors inside the training step and take
         # forces by autodiff instead (FLOPs are cheap, HBM is not)
         mode = getattr(self.net, "dgrad_mode", "auto")
-        if mode == "auto":
-            import os
-            limit = int(os.environ.get("FITSNAP_TPU_NN_G_LIMIT",
-                                       str(2 << 30)))
-            width = calculator.get_width()
-            g_bytes = sum(len(idxs) * a * k * width * 3
-                          * np.dtype(dtype).itemsize
-                          for (a, k), idxs in shape_buckets.items())
-            mode = "otf" if g_bytes > limit else "precompute"
+        if mode in ("auto", "otf"):
+            from fitsnap_tpu.parallel.fit import plan_pos_buckets
+            packed = [calculator._pack(d) for d in data]
+            pos_groups = plan_pos_buckets(packed, calculator.cutoff)
+            if mode == "auto":
+                import os
+                limit = int(os.environ.get("FITSNAP_TPU_NN_G_LIMIT",
+                                           str(2 << 30)))
+                width = calculator.get_width()
+                g_bytes = sum(len(g["configs"]) * g["a_pad"] * g["k_pad"]
+                              * width * 3 * np.dtype(dtype).itemsize
+                              for g in pos_groups)
+                mode = "otf" if g_bytes > limit else "precompute"
         self.otf = mode == "otf"
         if self.otf:
             self._desc_fwd = calculator.nn_desc_fn()
-            return self._prepare_otf(calculator, packed, shape_buckets,
-                                     dtype)
+            return self._prepare_otf(calculator, pos_groups, dtype)
+        from fitsnap_tpu.calculators.snap import coalesce_shape_buckets
+        packed, shape_buckets = calculator.host_preprocess(data)
+        shape_buckets = coalesce_shape_buckets(shape_buckets)
         prep = calculator.nn_prep_fn()
 
         self.buckets = []
@@ -193,61 +197,51 @@ class NetworkSolver(Solver):
         self.std = jnp.asarray(np.asarray(std, dtype))
         return self.buckets
 
-    def _prepare_otf(self, calculator, packed, shape_buckets, dtype):
-        """On-the-fly dgrad mode: keep (disp, jidx, mask, types) device-
-        resident and recompute descriptors inside every training step;
-        forces come from autodiff through the descriptor kernel.  Memory is
-        O(atoms x neighbors) per config — no dgrad tensor ever exists —
-        so datasets far beyond the reference's ~20 GB / 10k-config RAM
-        footprint (docs/source/Pytorch.rst:258-267) train on one chip.
-        One forward pass here computes standardization stats and targets."""
+    def _prepare_otf(self, calculator, pos_groups, dtype):
+        """On-the-fly dgrad mode: keep POSITIONS device-resident (hi/lo
+        float pairs + per-config image-shift vectors), build neighbor lists
+        on device and recompute descriptors inside every training step;
+        forces come straight from `-grad(E)` wrt positions.  Memory is
+        O(atoms) per config — no dgrad tensor ever exists — so datasets far
+        beyond the reference's ~20 GB / 10k-config RAM footprint
+        (docs/source/Pytorch.rst:258-267) train on one chip, and the
+        host->device upload is ~50x smaller than shipping neighbor tensors
+        (the decisive factor through a remote TPU relay).  One forward pass
+        here computes standardization stats and reference-subtracted
+        targets."""
         from fitsnap_tpu.ops.refpot import reference_eav
+        from fitsnap_tpu.parallel.fit import device_neighbors, pack_batch_pos
 
         desc = self._desc_fwd
         refspec = calculator.refspec
+        cutoff = float(calculator.cutoff)
+        self._otf_cutoff = cutoff
         self.buckets = []
         sum_b = None
         sumsq_b = None
         count = 0
-        for (a_pad, k_pad), idxs in sorted(shape_buckets.items()):
-            n = len(idxs)
-            disp = np.zeros((n, a_pad, k_pad, 3), dtype)
-            jidx = np.zeros((n, a_pad, k_pad), np.int32)
-            mask = np.zeros((n, a_pad, k_pad), bool)
-            types = np.zeros((n, a_pad), np.int32)
-            nat = np.zeros((n,), np.int32)
-            e_t = np.zeros((n,), dtype)
-            f_t = np.zeros((n, a_pad, 3), dtype)
-            ew = np.zeros((n,), dtype)
-            fw = np.zeros((n,), dtype)
-            test = np.zeros((n,), bool)
-            groups = []
-            files = []
-            for j, i in enumerate(idxs):
-                pc = packed[i]
-                na, kc = pc.natoms, pc.kcount
-                disp[j, :na, :kc] = pc.disp[:, :kc]
-                jidx[j, :na, :kc] = pc.jidx[:, :kc]
-                mask[j, :na, :kc] = pc.mask[:, :kc]
-                types[j, :na] = pc.types
-                nat[j] = na
-                d = pc.data
-                e_t[j] = d["Energy"]
-                f_t[j, :na] = d["Forces"]
-                ew[j] = d.get("eweight", 1.0)
-                fw[j] = d.get("fweight", 1.0)
-                test[j] = bool(d["test_bool"])
-                groups.append(d["Group"])
-                files.append(str(d.get("File", "")))
+        for g in pos_groups:
+            cfgs, a_pad, s_table = g["configs"], g["a_pad"], g["s_table"]
+            n = len(cfgs)
+            k_pad = int(min(g["k_pad"], a_pad * len(s_table)))
+            (pos_hi, pos_lo, svec_hi, svec_lo, types, nat, _cell, e_t, f_t,
+             _st, ew, fw, _vw) = (x[0] for x in pack_batch_pos(
+                 cfgs, a_pad, n, s_table, dtype))
+            test = np.array([bool(pc.data["test_bool"]) for pc in cfgs])
+            groups = [pc.data["Group"] for pc in cfgs]
+            files = [str(pc.data.get("File", "")) for pc in cfgs]
 
             # upload once; training gathers minibatches from these arrays
-            dd = jnp.asarray(disp)
-            jj = jnp.asarray(jidx)
-            mm = jnp.asarray(mask)
+            ph = jnp.asarray(pos_hi)
+            pl = jnp.asarray(pos_lo)
+            sh = jnp.asarray(svec_hi)
+            sl = jnp.asarray(svec_lo)
             tt = jnp.asarray(types)
             nad = jnp.asarray(nat)
 
-            chunk = int(min(32, max(1, 1024 // a_pad), n))
+            # bound the (A, S, A) neighbor-candidate transient
+            S = len(s_table)
+            chunk = int(min(32, max(1, (1 << 26) // (a_pad * S * a_pad)), n))
             C = -(-n // chunk)
             n_pad = C * chunk
             idx_plan = np.minimum(np.arange(n_pad), n - 1) \
@@ -255,15 +249,21 @@ class NetworkSolver(Solver):
             # the clipped tail duplicates config n-1: exclude from stats
             valid = (np.arange(n_pad) < n).reshape(C, chunk)
 
-            def stats_bucket(dd, jj, mm, tt, nad, e_td, f_td, plan, val):
+            def one_cfg(ph_c, pl_c, sh_c, sl_c, t, na):
+                d, j, m = device_neighbors(ph_c, pl_c, sh_c, sl_c, na,
+                                           cutoff, k_pad)
+                B = desc(d, j, m, t, na)
+                re_, rf_, _ = reference_eav(d, j, m, t, na, refspec)
+                return B, re_, rf_
+
+            def stats_bucket(ph, pl, sh, sl, tt, nad, e_td, f_td, plan,
+                             val):
                 def body(_, ch):
                     idx, v = ch
-                    d, j, m = dd[idx], jj[idx], mm[idx]
-                    t, na = tt[idx], nad[idx]
-                    B = jax.vmap(desc)(d, j, m, t, na)
-                    re_, rf_, _ = jax.vmap(
-                        lambda *a: reference_eav(*a, refspec))(d, j, m, t,
-                                                               na)
+                    B, re_, rf_ = jax.vmap(one_cfg)(
+                        ph[idx], pl[idx], sh[idx], sl[idx], tt[idx],
+                        nad[idx])
+                    na = nad[idx]
                     realr = jnp.arange(B.shape[1])[None, :] < na[:, None]
                     w = (realr & v[:, None]).astype(B.dtype)
                     Bm = B * w[..., None]
@@ -277,11 +277,11 @@ class NetworkSolver(Solver):
                 _, (e_tgt, f_tgt, sb, ssq, cnt) = jax.lax.scan(
                     body, None, (plan, val))
                 return (e_tgt.reshape(n_pad)[:n],
-                        f_tgt.reshape(n_pad, dd.shape[1], 3)[:n],
+                        f_tgt.reshape(n_pad, ph.shape[1], 3)[:n],
                         sb.sum(0), ssq.sum(0), cnt.sum())
 
             e_target, f_target, sb, ssq, cnt = jax.jit(stats_bucket)(
-                dd, jj, mm, tt, nad, jnp.asarray(e_t), jnp.asarray(f_t),
+                ph, pl, sh, sl, tt, nad, jnp.asarray(e_t), jnp.asarray(f_t),
                 jnp.asarray(idx_plan), jnp.asarray(valid))
 
             real = (np.arange(a_pad)[None, :] < nat[:, None])
@@ -292,7 +292,11 @@ class NetworkSolver(Solver):
             count += int(cnt)
 
             self.buckets.append({
-                "disp": dd, "jidx": jj, "mask": mm, "types": tt,
+                "pos_hi": ph, "pos_lo": pl, "svec_hi": sh, "svec_lo": sl,
+                # zero-byte shape carrier: k_pad is static per bucket but
+                # must survive the uniform {k: v[idx]} minibatch gather
+                "kshape": np.zeros((n, 0, k_pad), np.int8),
+                "types": tt,
                 "elem": types,           # network element index; may be
                 "nat": nat,              # zeroed for multi_element_option 1
                 "real": real,
@@ -550,36 +554,47 @@ class NetworkSolver(Solver):
         return e_per_atom, forces
 
     def _forward_batch_otf(self, params, batch):
-        """OTF mode: descriptors recomputed in the forward pass, forces by
-        autodiff wrt the displacement tensor (the same scatter identity the
-        precomputed-G path contracts explicitly: dE/dr_i = scatter_j - row_i
-        of dE/dD)."""
+        """OTF mode: neighbor lists built on device from resident positions,
+        descriptors recomputed in the forward pass, forces = -grad(E) wrt
+        positions (autodiff through the neighbor-displacement assembly
+        carries both the i-row and the gathered-j contributions — the
+        scatter identity the precomputed-G path contracts explicitly)."""
+        from fitsnap_tpu.parallel.fit import device_neighbors
+
         desc = self._desc_fwd
         mean, std = self.mean, self.std
-        nat = jnp.maximum(batch["nat"], 1).astype(batch["disp"].dtype)
+        cutoff = self._otf_cutoff
+        k_pad = batch["kshape"].shape[-1]
+        dtp = batch["pos_hi"].dtype
+        nat = jnp.maximum(batch["nat"], 1).astype(dtp)
 
-        def one(d, j, m, t, na, elem_c, real_c):
-            def etot(dd):
-                B = desc(dd, j, m, t, na)
+        def one(ph, pl, sh, sl, t, na, elem_c, real_c):
+            def etot(p):
+                d, j, m = device_neighbors(p, pl, sh, sl, na, cutoff, k_pad)
+                # rematerialize the descriptor chain in the backward pass:
+                # its per-pair monomial intermediates would otherwise be
+                # stored as autodiff residuals (~GBs at large atom counts);
+                # with checkpoint only (disp, B) survive the forward
+                B = jax.checkpoint(
+                    lambda dd: desc(dd, j, m, t, na))(d)
                 x = (B - mean) / std
                 return jnp.sum(atom_energies(params, x, elem_c) * real_c)
 
-            e, dEdd = jax.value_and_grad(etot)(d)
-            A = d.shape[0]
-            oj = jax.nn.one_hot(j, A, dtype=d.dtype)
-            scat = jnp.einsum("akm,akc->mc", oj, dEdd)
-            return e, -(scat - dEdd.sum(1))
+            e, g = jax.value_and_grad(etot)(ph)
+            return e, -g
 
-        real = batch["real"].astype(batch["disp"].dtype)
-        e, f = jax.vmap(one)(batch["disp"], batch["jidx"], batch["mask"],
+        real = batch["real"].astype(dtp)
+        e, f = jax.vmap(one)(batch["pos_hi"], batch["pos_lo"],
+                             batch["svec_hi"], batch["svec_lo"],
                              batch["types"], batch["nat"], batch["elem"],
                              real)
         return e / nat, f
 
     _BATCH_KEYS = ("B", "G", "types", "real", "nat", "jidx",
                    "e_target", "f_target", "ew", "fw")
-    _BATCH_KEYS_OTF = ("disp", "jidx", "mask", "types", "elem", "real",
-                       "nat", "e_target", "f_target", "ew", "fw")
+    _BATCH_KEYS_OTF = ("pos_hi", "pos_lo", "svec_hi", "svec_lo", "kshape",
+                       "types", "elem", "real", "nat", "e_target",
+                       "f_target", "ew", "fw")
     _BATCH_KEYS_PW = ("disp", "mask", "types", "real", "nat", "jidx",
                       "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_PAS = ("B", "types", "real", "nat", "pas_target", "ew")
@@ -767,14 +782,26 @@ class NetworkSolver(Solver):
             train_sets.append(tr)
             val_sets.append(va)
 
-        def _plan_bsz(n):
-            """Minibatch size: with dp, a multiple of the device count."""
+        def _plan_bsz(n, ds=None):
+            """Minibatch size: with dp, a multiple of the device count.
+
+            In OTF mode the step rebuilds neighbor lists on device, whose
+            (A, S, A) candidate tensor (plus the rematerialized descriptor
+            backward) scales with the bucket's atom padding — so large-atom
+            buckets get a capped minibatch to stay inside HBM.  Atoms per
+            minibatch (what sets the gradient noise) stays comparable
+            across buckets."""
             if ndev > 1 and bs < ndev:
                 raise ValueError(
                     f"batch_size={bs} < devices={ndev}: data-parallel "
                     "training needs at least one example per device per "
                     "minibatch — raise batch_size or lower --devices")
             bsz = min(bs, n)
+            if self.otf and ds is not None:
+                a_pad = int(ds["real"].shape[1])
+                S = int(ds["svec_hi"].shape[1])
+                cap = max(1, (1 << 25) // (a_pad * S * a_pad))
+                bsz = min(bsz, max(cap, ndev))
             if ndev > 1:
                 bsz = ndev * max(1, bsz // ndev)
             return bsz
@@ -795,7 +822,7 @@ class NetworkSolver(Solver):
         for bi, tr in enumerate(train_sets):
             if len(tr) == 0:
                 continue
-            bsz = _plan_bsz(len(tr))
+            bsz = _plan_bsz(len(tr), self.buckets[bi])
             if len(tr) < bsz:          # fewer examples than devices: wrap
                 tr = np.resize(tr, bsz)
             nst = (len(tr) - bsz) // bsz + 1
@@ -808,7 +835,7 @@ class NetworkSolver(Solver):
         for bi, va in enumerate(val_sets):
             if len(va) == 0:
                 continue
-            bsz = _plan_bsz(len(va))
+            bsz = _plan_bsz(len(va), self.buckets[bi])
             va = np.asarray(va)
             if len(va) < bsz:
                 va = np.resize(va, bsz)
