@@ -4,7 +4,9 @@ Formula parity with reference `lib/neural_networks/descriptors/bessel.py`
 and `g3b.py`:
   g_n(r)  = sqrt(2/c) sin(n pi r / c)/r * fc(r),          n = 1..num_radial
   fc(r)   = 1 (r < 3.5) else 0.5 + 0.5 cos(pi (r-3.5)/(c-3.5))
-  d_m(ij) = sum_{k != j} exp(-eta (cos(theta_jik) - mu_m)^2) fc(r_ik),
+  d_m(ij) = sum_k exp(-eta (cos_jk - mu_m)^2) fc(r_ik),
+            cos_jk = u_ij . u_ik zeroed at k == j (the reference keeps the
+            diagonal term with its cosine zeroed, g3b.py fill_diagonal_),
             mu = linspace(-1, 1, num_3body), eta = 4
 
 These are computed INSIDE the model (reference `pairwise.py:88`), so forces
@@ -37,16 +39,19 @@ def g3b_basis(diff_unit, fc, mask, num_3body):
     """Gaussian 3-body descriptors per pair.
 
     diff_unit: (A, K, 3) normalized displacements; fc: (A, K) cutoffs of the
-    *k* legs; mask: (A, K).  For pair (i,j): sum over k != j of
-    exp(-eta (u_ij . u_ik - mu)^2) fc_ik.
+    *k* legs; mask: (A, K).  For pair (i,j): sum over k of
+    exp(-eta (cos_jk - mu)^2) fc_ik with cos_jj zeroed (reference g3b.py).
     """
     dtype = diff_unit.dtype
     mu = jnp.linspace(-1.0, 1.0, num_3body).astype(dtype)
     cosjk = jnp.einsum("...kc,...lc->...kl", diff_unit, diff_unit)
     K = diff_unit.shape[-2]
     eye = jnp.eye(K, dtype=dtype)
+    # the reference zeroes the k == j dot product but KEEPS the term
+    # (g3b.py fill_diagonal_(0)): the diagonal contributes
+    # exp(-eta mu^2) fc_ij, a pure radial offset; matched bug-for-bug
+    cosjk = cosjk * (1.0 - eye)
     gauss = jnp.exp(-ETA * (cosjk[..., None] - mu) ** 2)      # (.., K, K, M)
-    gauss = gauss * (1.0 - eye)[..., :, :, None]              # zero k == j
     wk = (fc * mask)[..., None, :, None]                      # over k axis
     return (gauss * wk).sum(axis=-2)                          # (.., K, M)
 

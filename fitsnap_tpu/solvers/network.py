@@ -508,12 +508,22 @@ class NetworkSolver(Solver):
         nat = jnp.maximum(batch["nat"], 1).astype(disp.dtype)
 
         def config_energy(d, m, el):
+            from fitsnap_tpu.ops.custom_desc import RMIN_CUT, cutoff_function
             desc = pair_descriptors(d, m.astype(bool), sec.cutoff,
                                     sec.num_radial, sec.num_3body)
             x = (desc - self.mean) / self.std
             e_pair = atom_energies(params, x, el[:, None] * jnp.ones(
                 m.shape, jnp.int32))
-            return jnp.sum(e_pair * m)
+            # pair energies carry the cutoff envelope so E -> 0 smoothly as
+            # a pair leaves the cutoff (reference pairwise.py:174-175
+            # multiplies eij by the Bessel cutoff function before the
+            # per-config index_add); without it the NN bias gives a
+            # discontinuity at r = c
+            safe = jnp.where(m[..., None] > 0, d,
+                             jnp.array([2.0 * RMIN_CUT, 0.0, 0.0], d.dtype))
+            fc = cutoff_function(jnp.sqrt(jnp.sum(safe * safe, -1)),
+                                 sec.cutoff)
+            return jnp.sum(e_pair * fc * m)
 
         def one(d, m, el):
             e, g = jax.value_and_grad(config_energy)(d, m, el)
@@ -958,17 +968,25 @@ class NetworkSolver(Solver):
                 "opt_state": [np.asarray(x)
                               for x in jax.tree.leaves(best_opt)],
             })
-        if (not self.pairwise and not self.pas and net.output_file
-                and net.output_file != "None"):
+        if net.output_file and net.output_file != "None":
             # LAMMPS ML-IAP deployment module (torch is an export-time-only
-            # dependency; reference `lib/neural_networks/pytorch.py:250`)
+            # dependency; reference `lib/neural_networks/pytorch.py:250`,
+            # pairwise: `pairwise.py:226` -> `write.py:189 PairNN`,
+            # per-atom scalars: `pas.py:116` uses the same TorchWrapper)
             try:
-                from fitsnap_tpu.io.export_torch import export_mliap
+                from fitsnap_tpu.io.export_torch import (export_mliap,
+                                                         export_pairnn)
                 out = net.output_file
                 if not out.endswith(".pt"):
                     out += ".pt"
-                export_mliap(out, self.params, np.asarray(self.mean),
-                             np.asarray(self.std), nelem_net)
+                if self.pairwise:
+                    sec = self._custom_sec
+                    export_pairnn(out, self.params, np.asarray(self.mean),
+                                  np.asarray(self.std), sec.cutoff,
+                                  sec.num_radial, sec.num_3body, nelem_net)
+                else:
+                    export_mliap(out, self.params, np.asarray(self.mean),
+                                 np.asarray(self.std), nelem_net)
             except ModuleNotFoundError:
                 pass
         return self.params

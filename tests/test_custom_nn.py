@@ -117,6 +117,64 @@ def test_custom_nn_fd_forces(custom_fixture):
     assert errs.max() < 1e-5, errs
 
 
+def test_pairnn_export_matches_jax(custom_fixture, tmp_path):
+    """The exported LAMMPS mliappy PairNN module (reference write.py:189)
+    reproduces the JAX pairwise model: same total energy, and its
+    beta = dE/drij gradients match autodiff through `_forward_pairwise`."""
+    torch = pytest.importorskip("torch")
+    from fitsnap_tpu.io.export_torch import export_pairnn
+    from fitsnap_tpu.ops.neighbors import host_neighbors
+
+    fs, data = custom_fixture
+    sol = fs.solver
+    calc = fs.calculator
+    sec = sol._custom_sec
+    wrapper = export_pairnn(
+        str(tmp_path / "pair.pt"), sol.params, np.asarray(sol.mean),
+        np.asarray(sol.std), sec.cutoff, sec.num_radial, sec.num_3body,
+        calc.numtypes)
+    loaded = torch.load(str(tmp_path / "pair.pt"), weights_only=False)
+
+    d = data[0]
+    N = len(d["Positions"])
+    types = np.array([calc.type_mapping[t] - 1 for t in d["AtomTypes"]],
+                     np.int32)
+    disp, jidx, mask, _ = host_neighbors(
+        np.asarray(d["Positions"], float), np.asarray(d["Lattice"], float),
+        N, calc.cutoff)
+
+    batch = {
+        "disp": jnp.asarray(disp)[None], "mask": jnp.asarray(mask)[None],
+        "types": jnp.asarray(types)[None],
+        "real": jnp.ones((1, N), bool),
+        "nat": jnp.full((1,), N, jnp.int32),
+        "jidx": jnp.asarray(jidx)[None],
+    }
+    e_per_atom, _ = sol._forward_pairwise(sol.params, batch)
+    e_jax = float(e_per_atom[0]) * N
+
+    # dE/d(disp) for masked pairs via autodiff of the same forward
+    def etot(dd):
+        b = dict(batch, disp=dd)
+        e, _ = sol._forward_pairwise(sol.params, b)
+        return e[0] * N
+    g_jax = np.asarray(jax.grad(etot)(batch["disp"]))[0][mask]
+
+    ii, kk = np.nonzero(mask)
+    rij = np.ascontiguousarray(disp[mask], np.float64)
+    beta = np.zeros_like(rij)
+    energy = np.zeros(N)
+    loaded.forward(types, None, beta, energy, rij,
+                   ii.astype(np.int64), jidx[mask].astype(np.int64),
+                   ii.astype(np.int64), jidx[mask].astype(np.int64))
+    # folding (B-mean)/std into layer 1 (export) vs applying it explicitly
+    # (JAX) differ by cancellation noise ~1e-8 relative; the reference's
+    # deployment oracle is FD at 1e-3 (test_pytorch.py:106-114)
+    assert abs(energy.sum() - e_jax) < 1e-7 * max(1.0, abs(e_jax))
+    assert np.abs(beta - g_jax).max() < 1e-7
+    assert wrapper.n_descriptors == sec.num_radial + sec.num_3body
+
+
 def test_custom_end_to_end_cli(tmp_path, monkeypatch):
     """The shipped Ta_pytorch_custom_NN input runs end-to-end unchanged
     (short epochs), producing the custom coefficient/metrics outputs."""
