@@ -54,13 +54,15 @@ try:
     class PairNNWrapper(torch.nn.Module):
         """LAMMPS mliappy wrapper for pairwise-NN (CUSTOM) potentials.
 
-        Deployment parity with reference `write.py:189 PairNN`, with two
-        deliberate deviations: cutoff/num_radial/num_3body come from the
+        Deployment parity with reference `write.py:189 PairNN`, with one
+        deliberate deviation: cutoff/num_radial/num_3body come from the
         trained model (the reference hardcodes 3.0/5/12 regardless of what
-        was fit), and the descriptor math is exactly the training math
-        (custom_desc.py) — same rmin=3.5 envelope, same r >= c clamp, same
-        zeroed-diagonal 3-body term — so the deployed potential is the
-        fitted one.  Standardization is folded into layer 1 of `model`.
+        was fit).  The descriptor math is exactly the training math
+        (custom_desc.py), which matches the reference formulas: rmin=3.5
+        envelope on the radial/eij legs (bessel.py:76-87), rmin=0 cosine on
+        the 3-body leg (g3b.py:105), zeroed-diagonal 3-body term, plus an
+        r >= c clamp the reference omits (its neighbor list cannot produce
+        such pairs).  Standardization is folded into layer 1 of `model`.
 
         forward(elems, descriptors, beta, energy, rij, unique_i, unique_j,
         tag_i, tag_j) fills `beta[:, :] = dE/drij` (the reference's
@@ -92,10 +94,17 @@ try:
             fc = torch.where(r > self.RMIN, ramp, torch.ones_like(r))
             return torch.where(r >= c, torch.zeros_like(r), fc)
 
+        def cutoff_function_3body(self, r):
+            # the 3-body leg uses the reference's rmin=0 cosine cutoff
+            # (g3b.py:105), NOT the radial rmin=3.5 envelope
+            fc = 0.5 + 0.5 * torch.cos(torch.pi * r / self.cutoff)
+            return torch.where(r >= self.cutoff, torch.zeros_like(r), fc)
+
         def pair_descriptors(self, rij, unique_i):
             r = torch.linalg.norm(rij, dim=1, keepdim=True)
             unit = rij / r
             fc = self.cutoff_function(r)
+            fc3 = self.cutoff_function_3body(r)
             n = torch.arange(1, self.num_radial_descriptors + 1,
                              dtype=rij.dtype)
             c = self.cutoff
@@ -108,14 +117,13 @@ try:
                 cos = (unit[m] @ unit[m].T).fill_diagonal_(0.0)
                 gauss = torch.exp(-self.ETA * (cos[:, :, None]
                                                - self.mu) ** 2)
-                g3[m] = (gauss * fc[m][None, :, :]).sum(dim=1)
+                g3[m] = (gauss * fc3[m][None, :, :]).sum(dim=1)
             return torch.cat([rbf, g3], dim=1), fc
 
         def forward(self, elems, descriptors, beta, energy, rij, unique_i,
                     unique_j, tag_i, tag_j):
             d = torch.from_numpy(rij).to(self.dtype).requires_grad_(True)
             ui = torch.from_numpy(unique_i).to(torch.long)
-            ti = torch.from_numpy(tag_i).to(torch.long)
             el = torch.from_numpy(elems).to(torch.long)
             with torch.autograd.enable_grad():
                 desc, fc = self.pair_descriptors(d, ui)
@@ -125,8 +133,12 @@ try:
                 etot = eij.sum()
                 dEdr = torch.autograd.grad(etot, d)[0]
             beta[:, :] = dEdr.detach().cpu().numpy().astype(np.float64)
+            # scatter by LOCAL listed-atom index (unique_i): the mliappy
+            # energy array is indexed by local atom, and with LAMMPS atom
+            # sorting or MPI the global tags neither match local indices
+            # nor are bounded by len(energy)
             e_i = torch.zeros(len(energy), dtype=self.dtype)
-            e_i.index_add_(0, ti, eij.detach().flatten())
+            e_i.index_add_(0, ui, eij.detach().flatten())
             energy[:] = e_i.cpu().numpy().astype(np.float64)
 
 except ModuleNotFoundError:  # torch optional: export-time dependency only

@@ -1,10 +1,13 @@
 """Custom pairwise descriptors: Bessel radial + Gaussian 3-body (JAX).
 
 Formula parity with reference `lib/neural_networks/descriptors/bessel.py`
-and `g3b.py`:
+and `g3b.py` (the two use DIFFERENT cutoff functions):
   g_n(r)  = sqrt(2/c) sin(n pi r / c)/r * fc(r),          n = 1..num_radial
   fc(r)   = 1 (r < 3.5) else 0.5 + 0.5 cos(pi (r-3.5)/(c-3.5))
-  d_m(ij) = sum_k exp(-eta (cos_jk - mu_m)^2) fc(r_ik),
+            (radial only: bessel.py:76-87, rmin = 3.5)
+  d_m(ij) = sum_k exp(-eta (cos_jk - mu_m)^2) fc3(r_ik),
+            fc3(r) = 0.5 + 0.5 cos(pi r / c)   (g3b.py cutoff_function,
+            rmin = 0 — no flat inner region),
             cos_jk = u_ij . u_ik zeroed at k == j (the reference keeps the
             diagonal term with its cosine zeroed, g3b.py fill_diagonal_),
             mu = linspace(-1, 1, num_3body), eta = 4
@@ -25,6 +28,11 @@ def cutoff_function(r, c):
     # so out-of-range pairs are possible and must contribute zero
     ramp = 0.5 + 0.5 * jnp.cos(jnp.pi * (r - RMIN_CUT) / (c - RMIN_CUT))
     return jnp.where(r >= c, 0.0, jnp.where(r > RMIN_CUT, ramp, 1.0))
+
+
+def cutoff_function_3body(r, c):
+    """The 3-body leg's cutoff (reference g3b.py:105: rmin = 0 cosine)."""
+    return jnp.where(r >= c, 0.0, 0.5 + 0.5 * jnp.cos(jnp.pi * r / c))
 
 
 def bessel_basis(r, fc, c, num_radial):
@@ -65,5 +73,5 @@ def pair_descriptors(disp, mask, cutoff, num_radial, num_3body):
     unit = safe / r[..., None]
     fc = cutoff_function(r, cutoff) * mask
     rbf = bessel_basis(r, fc, cutoff, num_radial)
-    g3 = g3b_basis(unit, cutoff_function(r, cutoff), mask, num_3body)
+    g3 = g3b_basis(unit, cutoff_function_3body(r, cutoff), mask, num_3body)
     return jnp.concatenate([rbf, g3], axis=-1) * mask[..., None]

@@ -164,15 +164,107 @@ def test_pairnn_export_matches_jax(custom_fixture, tmp_path):
     rij = np.ascontiguousarray(disp[mask], np.float64)
     beta = np.zeros_like(rij)
     energy = np.zeros(N)
+    # LAMMPS global tags need not match local listed-atom indices (atom
+    # sorting / MPI): pass a permuted tag order so a tag-keyed energy
+    # scatter would land on the wrong atoms
+    perm = np.random.default_rng(11).permutation(N)
     loaded.forward(types, None, beta, energy, rij,
                    ii.astype(np.int64), jidx[mask].astype(np.int64),
-                   ii.astype(np.int64), jidx[mask].astype(np.int64))
+                   perm[ii].astype(np.int64),
+                   perm[jidx[mask]].astype(np.int64))
     # folding (B-mean)/std into layer 1 (export) vs applying it explicitly
     # (JAX) differ by cancellation noise ~1e-8 relative; the reference's
     # deployment oracle is FD at 1e-3 (test_pytorch.py:106-114)
     assert abs(energy.sum() - e_jax) < 1e-7 * max(1.0, abs(e_jax))
     assert np.abs(beta - g_jax).max() < 1e-7
     assert wrapper.n_descriptors == sec.num_radial + sec.num_3body
+
+    # per-atom energies must land by LOCAL index, not tag
+    from fitsnap_tpu.ops.custom_desc import (pair_descriptors,
+                                             cutoff_function)
+    desc = np.asarray(pair_descriptors(
+        jnp.asarray(disp), jnp.asarray(mask), sec.cutoff, sec.num_radial,
+        sec.num_3body))
+    x = (desc - np.asarray(sol.mean)) / np.asarray(sol.std)
+    from fitsnap_tpu.models.mlp import atom_energies
+    el = types[:, None] * np.ones(mask.shape, np.int32)
+    e_pair = np.asarray(atom_energies(sol.params, jnp.asarray(x),
+                                      jnp.asarray(el)))
+    r = np.linalg.norm(np.where(mask[..., None], disp, 100.0), axis=-1)
+    fc = np.asarray(cutoff_function(jnp.asarray(r), sec.cutoff))
+    e_atom_jax = (e_pair * fc * mask).sum(axis=1)
+    assert np.abs(energy - e_atom_jax).max() < 1e-7
+
+
+def test_pairnn_export_two_element(tmp_path):
+    """Two-element PairNN export: the Elementwise multi-subnet dispatch
+    (masked in-place assignment under autograd, subnet picked by atom i's
+    element) matches the JAX pairwise math per atom and per pair."""
+    torch = pytest.importorskip("torch")
+    from fitsnap_tpu.io.export_torch import export_pairnn
+    from fitsnap_tpu.ops.custom_desc import (pair_descriptors,
+                                             cutoff_function, RMIN_CUT)
+    from fitsnap_tpu.models.mlp import atom_energies
+
+    rng = np.random.default_rng(7)
+    cutoff, nrad, n3b = 5.0, 4, 6
+    D = nrad + n3b
+    widths = [D, 8, 1]
+    params = [(jnp.asarray(rng.normal(size=(2, nin, nout)) * 0.5),
+               jnp.asarray(rng.normal(size=(2, nout)) * 0.1))
+              for nin, nout in zip(widths[:-1], widths[1:])]
+    mean = rng.normal(size=D) * 0.1
+    std = rng.random(D) + 0.5
+
+    N = 8
+    pos = rng.random((N, 3)) * 3.5
+    types = rng.integers(0, 2, N).astype(np.int32)
+    assert len(set(types)) == 2
+    dmat = pos[None, :, :] - pos[:, None, :]
+    rmat = np.linalg.norm(dmat, axis=-1)
+    mask = (rmat < cutoff) & ~np.eye(N, dtype=bool)
+    K = mask.sum(axis=1).max()
+    disp = np.zeros((N, K, 3))
+    jidx = np.zeros((N, K), np.int64)
+    pmask = np.zeros((N, K), bool)
+    for i in range(N):
+        js = np.nonzero(mask[i])[0]
+        disp[i, :len(js)] = dmat[i, js]
+        jidx[i, :len(js)] = js
+        pmask[i, :len(js)] = True
+
+    def config_energy(d):
+        desc = pair_descriptors(d, jnp.asarray(pmask), cutoff, nrad, n3b)
+        x = (desc - mean) / std
+        el = jnp.asarray(types)[:, None] * jnp.ones(pmask.shape, jnp.int32)
+        e_pair = atom_energies(params, x, el)
+        safe = jnp.where(jnp.asarray(pmask)[..., None], d,
+                         jnp.array([2.0 * RMIN_CUT, 0.0, 0.0]))
+        fc = cutoff_function(jnp.sqrt(jnp.sum(safe * safe, -1)), cutoff)
+        return jnp.sum(e_pair * fc * pmask), e_pair * fc * pmask
+
+    (e_jax, e_pairs), g = jax.value_and_grad(config_energy,
+                                             has_aux=True)(jnp.asarray(disp))
+    e_atom_jax = np.asarray(e_pairs).sum(axis=1)
+    g_jax = np.asarray(g)[pmask]
+
+    wrapper = export_pairnn(str(tmp_path / "pair2.pt"), params, mean, std,
+                            cutoff, nrad, n3b, 2)
+    loaded = torch.load(str(tmp_path / "pair2.pt"), weights_only=False)
+    assert len(loaded.model.subnets) == 2
+
+    ii, _ = np.nonzero(pmask)
+    rij = np.ascontiguousarray(disp[pmask], np.float64)
+    beta = np.zeros_like(rij)
+    energy = np.zeros(N)
+    perm = np.random.default_rng(13).permutation(N)
+    loaded.forward(types, None, beta, energy, rij,
+                   ii, jidx[pmask], perm[ii], perm[jidx[pmask]])
+    # same tolerance rationale as the single-element test: folding
+    # (B-mean)/std into layer 1 leaves ~1e-8 relative cancellation noise
+    assert abs(energy.sum() - float(e_jax)) < 1e-7 * max(1.0, abs(e_jax))
+    assert np.abs(energy - e_atom_jax).max() < 1e-6
+    assert np.abs(beta - g_jax).max() < 1e-6
 
 
 def test_custom_end_to_end_cli(tmp_path, monkeypatch):
