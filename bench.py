@@ -159,6 +159,15 @@ def main():
     dcoeff = np.abs(coeff - std[1:] if len(std) == len(coeff) + 1 else
                     coeff - std).max()
     log(f"max|coeff - standard| = {dcoeff:.3e}")
+    # accuracy guard (VERDICT r3 weak #1: f32 parity regressed silently
+    # 2.9e-5 -> 1.07e-4 between rounds).  TPU rows are f32 with f64
+    # normal-equation accumulation: r01/r02 measured 2.9e-5, so 3e-5 is
+    # the no-regression line; CPU runs are f64 end-to-end (golden 1.9e-13).
+    coeff_tol = 3e-5 if backend == "tpu" else 1e-9
+    coeff_regression = bool(dcoeff > coeff_tol)
+    if coeff_regression:
+        log(f"ACCURACY REGRESSION: ta_coeff_maxdiff {dcoeff:.3e} > "
+            f"{coeff_tol:.1e} tolerance ({backend})")
 
     se = ne = sf = nf = 0.0
     for _, evaluate, batch in runs:
@@ -206,7 +215,11 @@ def main():
             "ta_energy_mae": round(mae_e, 6),
             "ta_force_mae": round(mae_f, 6),
             "ta_coeff_maxdiff": float(dcoeff),
+            "ta_coeff_tol": coeff_tol,
         },
+        # loud accuracy gate: true whenever coefficient parity exceeds the
+        # backend's no-regression tolerance (see coeff_tol above)
+        "regression": coeff_regression,
     }
 
     # WBe_PRB2019 full-scale throughput (25,422 configs / 1.77M rows):
@@ -235,22 +248,34 @@ def main():
     # (conservative — steady-state epochs are cheaper).
     if os.environ.get("FITSNAP_TPU_BENCH_NN", "1" if on_tpu else "0") != "0":
         try:
+            # 96 epochs = 12 full 8-epoch blocks: one XLA program, so every
+            # block after the first is pure steady-state execution
             nn_in = "/root/reference/examples/Ta_PyTorch_NN/Ta-example.in"
             fs_nn = FitSnap(nn_in, arglist=[
-                "--overwrite", "--keyword", "PYTORCH", "num_epochs", "100"])
+                "--overwrite", "--keyword", "PYTORCH", "num_epochs", "96"])
             fs_nn.scrape_configs()
             fs_nn.process_configs(delete_data=False)
             t0 = time.time()
             fs_nn.perform_fit()
             t_fit = time.time() - t0
             epochs = len(fs_nn.solver.history)
+            # warm rate from post-compile blocks (reference anchor:
+            # ~0.2 s/epoch CPU, docs/source/Pytorch.rst:248-256)
+            bt = fs_nn.solver.block_times
+            warm = bt[1:] if len(bt) > 1 else bt
+            warm_e = sum(e for e, _ in warm)
+            warm_s = sum(s for _, s in warm)
             result["extra"].update({
                 "nn_epochs": epochs,
                 "nn_s_per_epoch": round(t_fit / max(epochs, 1), 4),
+                "nn_s_per_epoch_warm": round(warm_s / max(warm_e, 1), 4),
+                "nn_compile_s": round(bt[0][1] - (warm_s / max(warm_e, 1))
+                                      * bt[0][0], 2) if len(bt) > 1 else 0.0,
                 "nn_final_train_loss": round(fs_nn.solver.history[-1][1], 6),
             })
             log(f"NN: {epochs} epochs in {t_fit:.1f}s "
-                f"({t_fit / max(epochs, 1):.3f} s/epoch; "
+                f"({t_fit / max(epochs, 1):.3f} s/epoch amortized, "
+                f"{warm_s / max(warm_e, 1):.4f} s/epoch warm; "
                 f"reference ~0.2 s/epoch CPU)")
         except Exception as e:  # noqa: BLE001 - bench must still report Ta
             log(f"NN benchmark failed: {e!r}")

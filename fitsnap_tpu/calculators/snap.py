@@ -91,6 +91,7 @@ class PackedConfig:
     mask: np.ndarray = None
     kcount: int = 0
     spins: np.ndarray = None   # (natoms, 3) unit vectors, or None
+    charges: np.ndarray = None  # (natoms,) per-atom charges, or None
 
 
 class SnapCalculator:
@@ -215,6 +216,14 @@ class SnapCalculator:
             sp = np.asarray(data["Spins"], np.float64)
             vec = sp[:, 1:4]
             spins = vec / np.linalg.norm(vec, axis=1)[:, None]
+        charges = None
+        if self.refspec.coul is not None:
+            if "Charges" not in data:
+                raise ValueError(
+                    "REFERENCE pair_style coul/cut needs per-atom charges "
+                    f"(atom_style charge), but config {data.get('File')} "
+                    "has no 'Charges' key")
+            charges = np.asarray(data["Charges"], np.float64).reshape(-1)
         return PackedConfig(
             pos=np.asarray(data["Positions"], np.float64),
             cell=np.asarray(data["Lattice"], np.float64),
@@ -222,6 +231,7 @@ class SnapCalculator:
             natoms=int(data["NumAtoms"]),
             data=data,
             spins=spins,
+            charges=charges,
         )
 
     def host_preprocess(self, data: list):
@@ -248,7 +258,8 @@ class SnapCalculator:
         refspec = self.refspec
         numtypes = self.numtypes
 
-        def one_config(disp, jidx, mask, types, natoms, cell, spins):
+        def one_config(disp, jidx, mask, types, natoms, cell, spins,
+                       charges):
             A = disp.shape[0]
             dtp = disp.dtype
             radelem = jnp.asarray(params.radelem, dtp)
@@ -283,7 +294,8 @@ class SnapCalculator:
             virial_rows = vir[pa, pb] * (TOBAR / vol)          # (6, W)
 
             re, rf, rv = reference_eav(disp, jidx, mask, types, natoms,
-                                       refspec, spins=spins)
+                                       refspec, spins=spins,
+                                       charges=charges)
             return {"e_cols": e_cols, "force_rows": force_rows,
                     "virial_rows": virial_rows,
                     "ref_e": re, "ref_f": rf, "ref_v": rv * (TOBAR / vol)}
@@ -330,6 +342,7 @@ class SnapCalculator:
                 types = np.zeros((chunk, a_pad), np.int32)
                 nat = np.zeros((chunk,), np.int32)
                 spins = np.zeros((chunk, a_pad, 3), dtype)
+                charges = np.zeros((chunk, a_pad), dtype)
                 for j, i in enumerate(ids):
                     pc = packed[i]
                     na, kc = pc.natoms, pc.kcount
@@ -341,9 +354,11 @@ class SnapCalculator:
                     nat[j] = na
                     if pc.spins is not None:
                         spins[j, :na] = pc.spins
+                    if pc.charges is not None:
+                        charges[j, :na] = pc.charges
                 out = jax.tree.map(np.asarray,
                                    fn(disp, jidx, mask, types, nat, cell,
-                                      spins))
+                                      spins, charges))
                 for j, i in enumerate(ids):
                     results[i] = {k: v[j] for k, v in out.items()}
 

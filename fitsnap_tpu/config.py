@@ -585,6 +585,18 @@ class NetworkSection:
         #                datasets far beyond HBM-resident dgrad)
         #   auto       - otf when the dgrad tensor would exceed
         #                FITSNAP_TPU_NN_G_LIMIT bytes (default 2 GiB)
+        # ReduceLROnPlateau equivalent (reference solvers/pytorch.py:113-118
+        # constructs one with mode=min, factor=0.5, patience=49,
+        # threshold=1e-4, threshold_mode=abs); keys below override those
+        # defaults, lr_plateau_flag=0 disables scheduling entirely
+        self.lr_plateau_flag = r.get(name, "lr_plateau_flag", "1", "bool")
+        self.lr_plateau_factor = r.get(
+            name, "lr_plateau_factor", "0.5", "float")
+        self.lr_plateau_patience = r.get(
+            name, "lr_plateau_patience", "49", "int")
+        self.lr_plateau_threshold = r.get(
+            name, "lr_plateau_threshold", "0.0001", "float")
+        self.lr_min = r.get(name, "lr_min", "0.0", "float")
         self.dgrad_mode = r.get(name, "dgrad_mode", "auto").lower()
         if self.dgrad_mode not in ("auto", "precompute", "otf"):
             raise ValueError(

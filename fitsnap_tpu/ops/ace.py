@@ -12,10 +12,12 @@ Replaces the reference's `compute pace` (C++ ML-PACE driven via LAMMPS) +
 
 Parity status: the evaluation pipeline is internally consistent with the
 `.yace` potential this framework writes (ctilde tables come from the same
-plan).  The reference's permutation-adapted label SELECTION
-(`lib/sym_ACE/pa_gen.py`) spans the same invariant space with a different
-basis, so coefficient-level golden parity with FitSNAP's PACE standards is
-not expected yet (tracked for a later round).
+plan).  This module's native LEFT-fold basis spans the same invariant space
+as the reference's permutation-adapted selection with a different basis;
+exact label/ctilde parity with the reference (both the minsub and
+pa_tabulated bases) is provided by `ops/ace_ref_basis.py` and verified in
+`tests/test_ace_ref_basis.py` (68/68 Ta, 173/173x2 InP labels) — see
+docs/COMPONENTS.md §2.7.
 """
 
 import itertools

@@ -131,10 +131,20 @@ class SpinExchangeParams:
 
 
 @dataclass(frozen=True)
+class CoulCutParams:
+    """LAMMPS `pair_style coul/cut <rc>`: bare (unshifted) Coulomb between
+    per-atom charges inside the cutoff, E = qqr2e * qi * qj / r.  Needs
+    `atom_style charge` data (per-atom `Charges`, the key the reference
+    feeds to LAMMPS at `calculators/lammps_base.py:225-229`)."""
+    rc: float
+
+
+@dataclass(frozen=True)
 class RefSpec:
     """Parsed REFERENCE section: list of active pair potentials."""
     zbl: ZblParams = None
     spin: SpinExchangeParams = None
+    coul: CoulCutParams = None
     max_cutoff: float = 0.0
 
 
@@ -164,7 +174,8 @@ def parse_reference(section, ntypes) -> RefSpec:
         styles[name] = [float(x) for x in toks[1:] if _is_num(x)]
 
     for name in styles:
-        if name not in ("zero", "zbl", "spin/exchange/biquadratic"):
+        if name not in ("zero", "zbl", "spin/exchange/biquadratic",
+                        "coul/cut"):
             raise NotImplementedError(f"reference pair style '{name}' not supported")
 
     zbl_pairs = {}
@@ -198,14 +209,18 @@ def parse_reference(section, ntypes) -> RefSpec:
                 dk=float(vals[6]), offset=offset)
 
     zbl = None
+    coul = None
     max_cut = 0.0
     if "zbl" in styles:
         cut_inner, cut_outer = styles["zbl"][0], styles["zbl"][1]
         zbl = build_zbl(cut_inner, cut_outer, zbl_pairs, ntypes)
         max_cut = max(max_cut, cut_outer)
+    if "coul/cut" in styles:
+        coul = CoulCutParams(rc=float(styles["coul/cut"][0]))
+        max_cut = max(max_cut, coul.rc)
     if spin is not None:
         max_cut = max(max_cut, spin.rc)
-    return RefSpec(zbl=zbl, spin=spin, max_cutoff=max_cut)
+    return RefSpec(zbl=zbl, spin=spin, coul=coul, max_cutoff=max_cut)
 
 
 def _is_num(s):
@@ -222,20 +237,25 @@ def _bethe_slater(r, a, g, d):
 
 
 def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec,
-                  spins=None):
+                  spins=None, charges=None):
     """Reference-potential (energy, forces (A,3), virial (6,) in eV units).
 
     disp: (A, K, 3) r_j - r_i over the directed padded neighbor list; each
     physical pair appears twice, so pair sums carry a 0.5 factor.
     spins: optional (A, 3) unit spin vectors for the spin/exchange pair
     style (magnetic moments are frame-fixed; forces come from dJ/dr only).
+    charges: optional (A,) per-atom charges for coul/cut.
     Virial components ordered (xx, yy, zz, yz, xz, xy), W_ab = -0.5 sum
     D_a dE/dD_b matching the sign convention validated against the oracle.
     """
     A = disp.shape[0]
-    if spec.zbl is None and spec.spin is None:
+    if spec.zbl is None and spec.spin is None and spec.coul is None:
         z = jnp.zeros((), disp.dtype)
         return z, jnp.zeros((A, 3), disp.dtype), jnp.zeros((6,), disp.dtype)
+    if spec.coul is not None and charges is None:
+        raise ValueError(
+            "REFERENCE pair_style coul/cut needs per-atom charges: the "
+            "training data has no 'Charges' key (atom_style charge)")
 
     ti = jnp.broadcast_to(types[:, None], jidx.shape)
     tj = types[jidx]
@@ -247,6 +267,10 @@ def reference_eav(disp, jidx, mask, types, natoms, spec: RefSpec,
         e_nv = jnp.zeros_like(r)    # spin styles: energy+force, NO virial
         if spec.zbl is not None:
             e_v = e_v + zbl_pair_energy(r, ti, tj, spec.zbl)
+        if spec.coul is not None:
+            qq = charges[:, None] * charges[jidx]
+            ec = _QQR2E * qq / r
+            e_v = e_v + jnp.where(r < spec.coul.rc, ec, 0.0)
         if spec.spin is not None and spins is not None:
             sp = spec.spin
             dots = jnp.einsum("ac,akc->ak", spins, spins[jidx])

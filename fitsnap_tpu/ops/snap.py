@@ -16,6 +16,7 @@ Complex arithmetic is carried as explicit (real, imag) pairs: TPUs have no
 native complex type and this keeps the kernel Pallas-portable.
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any
@@ -434,13 +435,17 @@ def _pair_wu_duals(disp, jelem, mask, ielem, p: SnapParams):
     from fitsnap_tpu.ops.mono import mono_blocks
     blocks, u_cols = mono_blocks(plan.twojmax)
 
-    def blockmm(M):
-        reals, imags = [], []
-        for (r0, r1, c0, c1) in blocks:
-            sub = M[..., r0:r1]
-            reals.append(sub @ Lj[r0:r1, c0:c1])
-            imags.append(sub @ Lj[r0:r1, u_cols + c0:u_cols + c1])
-        return jnp.concatenate(reals + imags, axis=-1)
+    if os.environ.get("FITSNAP_TPU_DENSE_L") == "1":   # A/B numerics probe
+        def blockmm(M):
+            return M @ Lj
+    else:
+        def blockmm(M):
+            reals, imags = [], []
+            for (r0, r1, c0, c1) in blocks:
+                sub = M[..., r0:r1]
+                reals.append(sub @ Lj[r0:r1, c0:c1])
+                imags.append(sub @ Lj[r0:r1, u_cols + c0:u_cols + c1])
+            return jnp.concatenate(reals + imags, axis=-1)
 
     U = blockmm(Mp)                       # (A, K, 2U)
     Ut = blockmm(Mt)                      # (3, A, K, 2U)

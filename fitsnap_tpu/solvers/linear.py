@@ -14,6 +14,21 @@ import numpy as np
 from fitsnap_tpu.solvers.solver import Solver
 
 
+def _solver_rng(config):
+    """Deterministic RNG for stochastic solvers (ANL samples, OPT x0, MCMC).
+
+    The reference broadcasts one shared seed to every rank
+    (`fitsnap3lib/parallel_tools.py:239`); here the GROUPS `random_seed`
+    (when set) plays that role so UQ artifacts are reproducible run-to-run.
+    """
+    seed = 0
+    groups = getattr(config, "sections", {}).get("GROUPS") \
+        if config is not None else None
+    if groups is not None:
+        seed = int(groups.random_seed)
+    return np.random.default_rng(seed or 13)
+
+
 def _weighted_training(a, b, w, fs_dict, trainall=False):
     if fs_dict is not None and not trainall:
         training = np.array([not t for t in fs_dict["Testing"]])
@@ -107,7 +122,7 @@ class ANL(Solver):
         np.save("mean.npy", self.fit)
         nsam = self.config.sections["SOLVER"].nsam
         if nsam:
-            self.fit_sam = np.random.multivariate_normal(
+            self.fit_sam = _solver_rng(self.config).multivariate_normal(
                 self.fit, self.cov, size=(nsam,))
         return self.fit
 
@@ -171,11 +186,14 @@ class MCMC(Solver):
             return 0.5 * np.sum(r * r) / (sigma * sigma)
 
         samples, cmode, _ = adaptive_metropolis(
-            neg_logpost, x0, nmcmc, sec.mcmc_gamma)
+            neg_logpost, x0, nmcmc, sec.mcmc_gamma,
+            rng=_solver_rng(self.config))
         nburn = nmcmc // 2
         self.fit = cmode
-        self.fit_sam = samples[nburn:][:: max(1, (nmcmc - nburn)
-                                              // max(1, sec.nsam or 100))]
+        nsam = sec.nsam or 100
+        # thin to AT MOST nsam draws: stride arithmetic alone can overshoot
+        stride = max(1, (nmcmc - nburn) // max(1, nsam))
+        self.fit_sam = samples[nburn:][::stride][:nsam]
         self.cov = np.cov(samples[nburn:].T)
         return self.fit
 
@@ -194,7 +212,7 @@ class OPT(Solver):
         def grad(x):
             return aw.T @ (aw @ x - bw)
 
-        x0 = np.random.randn(aw.shape[1])
+        x0 = _solver_rng(self.config).standard_normal(aw.shape[1])
         res = minimize(distance, x0, method="BFGS", jac=grad,
                        options={"gtol": 1e-13})
         self.fit = res.x
@@ -232,10 +250,12 @@ class BCS(Solver):
                 "nm,nk,km->m", aw, PhiSPhiT, aw, optimize=True)
             Q = beta * proj - beta ** 2 * np.einsum(
                 "nm,n->m", aw, PhiSPhiT @ bw, optimize=True)
-            s = np.where(np.isinf(alpha), S,
-                         alpha * S / np.clip(alpha - S, 1e-300, None))
-            q = np.where(np.isinf(alpha), Q,
-                         alpha * Q / np.clip(alpha - S, 1e-300, None))
+            with np.errstate(invalid="ignore"):
+                # inf*x/inf in the inactive branch is masked by the where
+                s = np.where(np.isinf(alpha), S,
+                             alpha * S / np.clip(alpha - S, 1e-300, None))
+                q = np.where(np.isinf(alpha), Q,
+                             alpha * Q / np.clip(alpha - S, 1e-300, None))
             theta = q ** 2 - s
             changed = False
             # single best re-estimation/addition/deletion per pass

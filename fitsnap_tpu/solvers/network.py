@@ -29,6 +29,35 @@ def _net_section(config):
     raise ValueError("NN solver requires a PYTORCH/NETWORK/JAX section")
 
 
+def _plateau_step(sched, metric, *, factor, patience, threshold, lr_min,
+                  eps=1e-8):
+    """One ReduceLROnPlateau update (torch semantics: mode=min,
+    threshold_mode=abs, cooldown=0): a metric is an improvement iff it
+    beats the best seen by more than `threshold`; after `patience`
+    consecutive non-improvements the LR is multiplied by `factor` (floored
+    at `lr_min`) and the bad-epoch counter resets.
+
+    The reference constructs exactly this scheduler
+    (`fitsnap3lib/solvers/pytorch.py:113-118`) with factor=0.5, patience=49,
+    threshold=1e-4 — but never calls `scheduler.step()`, so upstream it is
+    inert.  Here it actually runs (lr_plateau_flag=1 by default), stepped on
+    the per-epoch validation loss inside the jitted epoch scan.
+
+    sched = (lr, best_metric, bad_epochs); pure and jittable so it can live
+    in the lax.scan carry.
+    """
+    lr, best, bad = sched
+    improved = metric < best - threshold
+    best = jnp.where(improved, metric, best)
+    bad = jnp.where(improved, 0, bad + 1)
+    trip = bad > patience
+    # torch skips reductions smaller than eps (ReduceLROnPlateau(eps=1e-8))
+    new_lr = jnp.maximum(lr * factor, lr_min)
+    lr = jnp.where(trip & (lr - new_lr > eps), new_lr, lr)
+    bad = jnp.where(trip, 0, bad)
+    return (lr, best, bad.astype(sched[2].dtype))
+
+
 class NetworkSolver(Solver):
     def __init__(self, name, config):
         super().__init__(name, config, linear=False)
@@ -43,6 +72,8 @@ class NetworkSolver(Solver):
         self.std = None
         self.params = None
         self.history = []
+        self.lr_history = np.zeros(0)
+        self.final_lr = None
         self._fwd_jit = None
         self.otf = False        # on-the-fly dgrad (see NetworkSection)
         self._desc_fwd = None
@@ -758,8 +789,21 @@ class NetworkSolver(Solver):
                 or 1)
         ndev = min(ndev, len(jax.devices()))
 
-        opt = optax.adam(net.learning_rate)
+        # Adam moments only; the LR is applied manually in the step so the
+        # plateau scheduler can change it inside the jitted epoch scan
+        # (bare scale_by_adam has the same state leaves as optax.adam, so
+        # round-3 warm-start checkpoints keep loading).  The reference
+        # constructs torch ReduceLROnPlateau(mode=min, factor=0.5,
+        # patience=49, threshold=1e-4, threshold_mode=abs) at
+        # solvers/pytorch.py:113-118 but never calls scheduler.step() —
+        # upstream the scheduler is inert; here lr_plateau_flag=1 (default)
+        # actually steps it on the per-epoch validation loss.
+        opt = optax.scale_by_adam()
         opt_state = opt.init(self.params)
+        sched_on = bool(getattr(net, "lr_plateau_flag", False))
+        sched0 = (jnp.asarray(float(net.learning_rate)),  # current lr
+                  jnp.asarray(np.inf),                    # best metric seen
+                  jnp.asarray(0, np.int32))               # bad-epoch count
         if self._warm_opt is not None:
             # resume also restores the Adam moments (reference
             # solvers/pytorch.py:105-109 optimizer_state_dict); stored as
@@ -864,7 +908,8 @@ class NetworkSolver(Solver):
                             for ds in self.buckets)
 
         def epoch_body(bufs, vplans, carry, xs):
-            params, opt_state, best_val, best_params, best_opt = carry
+            params, opt_state, best_val, best_params, best_opt, sched = carry
+            lr = sched[0]
             tl_sum = jnp.zeros(())
             tn = 0
             for slot, bi in enumerate(tkeys):
@@ -884,6 +929,8 @@ class NetworkSolver(Solver):
                         grads = jax.tree.map(
                             lambda g: jax.lax.pmean(g, "dp"), grads)
                     updates, s = opt.update(grads, s)
+                    updates = jax.tree.map(
+                        lambda u: -(lr.astype(u.dtype)) * u, updates)
                     return (optax.apply_updates(p, updates), s), loss
 
                 (params, opt_state), losses = jax.lax.scan(
@@ -910,8 +957,13 @@ class NetworkSolver(Solver):
             best_opt = jax.tree.map(
                 lambda b, s: jnp.where(better, s, b), best_opt, opt_state)
             best_val = jnp.minimum(best_val, vl)
-            return (params, opt_state, best_val, best_params, best_opt), \
-                (tl, vl)
+            if sched_on:
+                sched = _plateau_step(
+                    sched, vl, factor=net.lr_plateau_factor,
+                    patience=net.lr_plateau_patience,
+                    threshold=net.lr_plateau_threshold, lr_min=net.lr_min)
+            return (params, opt_state, best_val, best_params, best_opt,
+                    sched), (tl, vl, sched[0])
 
         def train_block(carry, perms, bufs, vplans):
             return jax.lax.scan(partial(epoch_body, bufs, vplans),
@@ -926,29 +978,40 @@ class NetworkSolver(Solver):
             mesh = Mesh(np.array(jax.devices()[:ndev]), axis_names=("dp",))
             train_fn = jax.jit(jax.shard_map(
                 train_block, mesh=mesh,
-                in_specs=((P(),) * 5,
+                in_specs=((P(),) * 6,
                           tuple(P(None, None, "dp") for _ in train_perms),
                           tuple(P() for _ in dev_buckets),
                           tuple(P(None, "dp") for _ in vplans_t)),
-                out_specs=((P(),) * 5, (P(), P())),
+                out_specs=((P(),) * 6, (P(), P(), P())),
                 check_vma=False))
         else:
             train_fn = jax.jit(train_block)
         BLOCK = 8
         carry = (self.params, opt_state, jnp.asarray(np.inf),
-                 self.params, opt_state)
-        tls_l, vls_l = [], []
+                 self.params, opt_state, sched0)
+        tls_l, vls_l, lrs_l = [], [], []
+        # (epochs, seconds) per dispatched block; the first full-BLOCK entry
+        # carries the XLA compile, later ones are steady-state — bench.py
+        # derives warm s/epoch from the post-compile blocks
+        self.block_times = []
         e0 = 0
         while e0 < E:
             eb = min(BLOCK, E - e0)
             blk = tuple(jnp.asarray(p[e0:e0 + eb]) for p in train_perms)
+            t0 = time.time()
             carry, hist = train_fn(carry, blk, dev_buckets, vplans_t)
+            jax.block_until_ready(hist)
+            self.block_times.append((eb, time.time() - t0))
             tls_l.append(np.asarray(hist[0]))
             vls_l.append(np.asarray(hist[1]))
+            lrs_l.append(np.asarray(hist[2]))
             e0 += eb
-        _, _, _, best_params, best_opt = carry
+        _, _, _, best_params, best_opt, sched_f = carry
+        self.final_lr = float(sched_f[0])
         tls = np.concatenate(tls_l) if tls_l else np.zeros(0)
         vls = np.concatenate(vls_l) if vls_l else np.zeros(0)
+        self.lr_history = (np.concatenate(lrs_l) if lrs_l
+                           else np.zeros(0))
         self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
         self.params = best_params
         self.fit = None  # nonlinear: no coefficient vector

@@ -18,6 +18,10 @@ _FORCE = {
     "metal": 1.0, "electronvoltperangstrom": 1.0, "ev_per_angstrom": 1.0,
     "ev_per_ang": 1.0,
     "newtons": 6.424e8, "n": 6.424e8, "kg_m_per_s_per_s": 6.424e8,
+    # NOTE: "dyne" vs "dynes" disagree in the 2nd digit — this transcribes
+    # the reference's own inconsistency (fitsnap3lib/units/force.py:15-16,
+    # 6.424e11 vs 6.242e11; the correct value is 6.2415e11 eV/Å per dyne)
+    # so that fits using either spelling reproduce reference numbers.
     "dyne": 6.424e11, "dynes": 6.242e11,
     "atomic": 51.422, "hartree_per_bohr": 51.422, "ha_per_bohr": 51.422,
     "ha_per_au": 51.422,

@@ -341,3 +341,73 @@ def test_nn_dgrad_mode_auto_flips_on_size(monkeypatch):
     monkeypatch.setenv("FITSNAP_TPU_NN_G_LIMIT", "1")
     fs.solver.prepare_dataset(fs.calculator, data)
     assert fs.solver.otf
+
+
+def test_plateau_step_matches_torch_scheduler():
+    """_plateau_step vs the exact scheduler the reference constructs
+    (torch ReduceLROnPlateau mode=min/factor=0.5/patience=49/threshold=1e-4/
+    threshold_mode=abs, solvers/pytorch.py:113-118 — constructed upstream
+    but never stepped; here it actually runs).  Same loss sequence must
+    yield the same LR trajectory."""
+    import torch
+    from fitsnap_tpu.solvers.network import _plateau_step
+
+    rng = np.random.default_rng(3)
+    # a loss curve that improves, plateaus, jumps, plateaus again
+    losses = np.concatenate([
+        1.0 / (1.0 + np.arange(10.0)),          # improving
+        np.full(20, 0.09) + 1e-6 * rng.normal(size=20),   # plateau
+        [0.5], np.full(25, 0.5) + 1e-6 * rng.normal(size=25),
+    ])
+    for patience, factor, threshold, lr_min in [(5, 0.5, 1e-4, 0.0),
+                                                (3, 0.1, 1e-2, 1e-4),
+                                                (0, 0.5, 1e-4, 0.0)]:
+        lin = torch.nn.Linear(1, 1)
+        opt = torch.optim.Adam(lin.parameters(), lr=1e-2)
+        sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", factor=factor, patience=patience,
+            threshold=threshold, threshold_mode="abs", min_lr=lr_min)
+        sched = (jnp.asarray(1e-2), jnp.asarray(np.inf),
+                 jnp.asarray(0, np.int32))
+        for loss in losses:
+            sch.step(float(loss))
+            sched = _plateau_step(
+                sched, jnp.asarray(loss), factor=factor, patience=patience,
+                threshold=threshold, lr_min=lr_min)
+            assert abs(float(sched[0]) - opt.param_groups[0]["lr"]) < 1e-15, \
+                (patience, factor, float(loss))
+
+
+def test_nn_plateau_lr_halves_in_training(nn_fixture):
+    """End-to-end: a fit whose validation loss never 'improves' (threshold
+    set huge) must halve the LR every patience+1 epochs inside the jitted
+    epoch blocks, and the final LR must be exposed."""
+    fs, data = nn_fixture
+    net = fs.config.sections["PYTORCH"]
+    old = (net.num_epochs, net.lr_plateau_flag, net.lr_plateau_patience,
+           net.lr_plateau_threshold)
+    saved = [(np.asarray(w), np.asarray(b)) for w, b in fs.solver.params]
+    try:
+        net.num_epochs = 10       # spans one 8-epoch block + remainder
+        net.lr_plateau_flag = 1
+        net.lr_plateau_patience = 1
+        net.lr_plateau_threshold = 1e9   # nothing ever improves...
+        fs.solver.perform_fit(calculator=fs.calculator, data=data)
+        lrs = np.asarray(fs.solver.lr_history)
+        assert lrs.shape == (10,)
+        # ...except epoch 0 (best starts at inf).  bad-epoch count then runs
+        # 1, 2(>patience: trip, reset), 1, 2(trip)... -> trips at epochs
+        # 2, 4, 6, 8: four halvings in 10 epochs
+        assert abs(fs.solver.final_lr - net.learning_rate * 0.5 ** 4) < 1e-12
+        assert (np.diff(lrs) <= 0).all()
+
+        # scheduling off: LR constant
+        net.lr_plateau_flag = 0
+        fs.solver.perform_fit(calculator=fs.calculator, data=data)
+        np.testing.assert_allclose(np.asarray(fs.solver.lr_history),
+                                   net.learning_rate)
+    finally:
+        (net.num_epochs, net.lr_plateau_flag, net.lr_plateau_patience,
+         net.lr_plateau_threshold) = old
+        fs.solver.params = [(jnp.asarray(w), jnp.asarray(b))
+                            for w, b in saved]

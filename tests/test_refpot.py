@@ -108,3 +108,57 @@ def test_truth_parity_one_config():
     T = np.load(TA_EXAMPLE / "20May21_Standard/Truth-Ref.npy")
     # energy truths are the first 363 rows (grouped layout)
     assert np.abs(T[:363] - b_mine).min() < 1e-10
+
+
+def test_coul_cut_energy_forces_and_charge_plumbing():
+    """`pair_style coul/cut` (reference feeds per-atom Charges to LAMMPS,
+    `calculators/lammps_base.py:225-229`): bare Coulomb inside rc, forces
+    from autodiff match the analytic pair force, and a missing Charges key
+    errors loudly instead of silently dropping the data."""
+    from fitsnap_tpu.ops.refpot import _QQR2E
+
+    class Sec:
+        lmp_pairdecl = ["pair_style coul/cut 5.0"]
+
+    spec = parse_reference(Sec(), 1)
+    assert spec.coul is not None and spec.coul.rc == 5.0
+    # two atoms, one directed pair each way
+    r = 2.5
+    disp = jnp.asarray([[[r, 0.0, 0.0]], [[-r, 0.0, 0.0]]])
+    jidx = jnp.asarray([[1], [0]])
+    mask = jnp.ones((2, 1), bool)
+    types = jnp.zeros((2,), int)
+    q = jnp.asarray([0.8, -0.5])
+    e, f, _ = reference_eav(disp, jidx, mask, types, 2, spec, charges=q)
+    assert abs(float(e) - _QQR2E * 0.8 * (-0.5) / r) < 1e-12
+    # attractive: force on atom 0 points toward atom 1 (+x)
+    fx = _QQR2E * 0.8 * 0.5 / r ** 2
+    np.testing.assert_allclose(np.asarray(f),
+                               [[fx, 0, 0], [-fx, 0, 0]], atol=1e-12)
+    # outside the cutoff: zero
+    disp6 = disp * (6.0 / r)
+    e6, _, _ = reference_eav(disp6, jidx, mask, types, 2, spec, charges=q)
+    assert float(e6) == 0.0
+    # loud failure without charges
+    with pytest.raises(ValueError, match="[Cc]harge"):
+        reference_eav(disp, jidx, mask, types, 2, spec)
+
+
+def test_coul_cut_pack_requires_charges():
+    """The SNAP calculator pack step raises on missing Charges when the
+    REFERENCE section declares coul/cut."""
+    if not TA_EXAMPLE.exists():
+        pytest.skip("no reference examples")
+    from fitsnap_tpu.calculators.snap import SnapCalculator
+    from fitsnap_tpu.config import Config
+    cfg = Config(str(TA_EXAMPLE / "Ta-example.in"), arglist=["--overwrite"])
+    ref = cfg.sections["REFERENCE"]
+    ref.lmp_pairdecl = ["pair_style coul/cut 5.0"]
+    calc = SnapCalculator("SNAP", cfg)
+    data = {"Positions": np.zeros((2, 3)), "Lattice": np.eye(3) * 10,
+            "AtomTypes": ["Ta", "Ta"], "NumAtoms": 2, "File": "t"}
+    with pytest.raises(ValueError, match="Charges"):
+        calc._pack(data)
+    data["Charges"] = np.array([[0.1], [-0.1]])
+    pc = calc._pack(data)
+    np.testing.assert_allclose(pc.charges, [0.1, -0.1])
