@@ -107,9 +107,23 @@ def run(limit=None, epochs=16, batch_size=16):
     s_epoch = t_fit / max(epochs, 1)
     total = time.time() - t_all
     us_atom = s_epoch / max(natoms, 1) * 1e6
-    # reference anchor: 20 s/epoch over ~500k atoms = 40 us/(atom*epoch)
+    # warm rate: epoch blocks after the first exclude the XLA compiles
+    bt = fs.solver.block_times
+    warm = bt[1:] if len(bt) > 1 else bt
+    warm_s_epoch = (sum(s for _, s in warm)
+                    / max(sum(e for e, _ in warm), 1))
+    # peak HBM (TPU runtimes expose memory_stats; CPU returns None)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_gib = stats.get("peak_bytes_in_use", 0) / 2**30
+    except Exception:   # noqa: BLE001 - diagnostic only
+        peak_gib = 0.0
+    # reference anchor: 20 s/epoch over ~500k atoms = 40 us/(atom*epoch),
+    # ~20 GB dgrad RAM (docs/source/Pytorch.rst:258-267)
     print(f"{epochs} epochs in {t_fit:.1f}s -> {s_epoch:.2f} s/epoch "
+          f"amortized, {warm_s_epoch:.2f} s/epoch warm "
           f"({us_atom:.1f} us/atom-epoch; reference ~40); "
+          f"peak HBM {peak_gib:.2f} GiB (reference ~20 GB dgrad RAM); "
           f"final train loss {fs.solver.history[-1][1]:.6f}; "
           f"TOTAL {total:.1f}s", flush=True)
     return {
@@ -117,7 +131,9 @@ def run(limit=None, epochs=16, batch_size=16):
         "atoms": natoms,
         "epochs": epochs,
         "s_per_epoch": s_epoch,
+        "s_per_epoch_warm": warm_s_epoch,
         "us_per_atom_epoch": us_atom,
+        "peak_hbm_gib": peak_gib,
         "dgrad_gib_avoided": g_bytes / 2**30,
         "final_train_loss": float(fs.solver.history[-1][1]),
         "seconds": total,

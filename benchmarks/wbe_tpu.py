@@ -60,12 +60,15 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
 
     # device-resident f64 accumulator: nothing downloads until the end
     # (device->host is slow through the remote relay)
-    acc_init = None
     acc = None
+    acc_finish = None
 
-    t_compute = 0.0
+    # pass 1: pack + (async) upload every bucket, building all programs.
+    # Uploads pipeline through the relay while the host packs the next
+    # bucket; nothing blocks here.
     t_pack = 0.0
-    resident = []   # (batch, step_meta) for optional refine/mae passes
+    t0_all = time.time()
+    progs = []      # (acc_step, batch, neighbors, label)
     for g in groups:
         a_pad, k_pad, s_table = g["a_pad"], g["k_pad"], g["s_table"]
         cfgs = g["configs"]
@@ -87,15 +90,42 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
             neighbors=neighbors, accumulate=True)
         if acc is None:
             acc = init_fn()
-        t0 = time.time()
         batch = jax.device_put(batch)
-        acc = acc_step(acc, batch)
+        progs.append((acc_step, batch, neighbors,
+                      f"({a_pad},{k_pad},S={S}) x{len(cfgs)} csize={csize}"))
+
+    # pass 2+3: compile ALL bucket programs concurrently (server-side
+    # compile parallelizes through the relay; serially these 8 programs
+    # cost ~290 s, together ~1 program's wall time) and START EXECUTING
+    # each one the moment its compile lands — device compute overlaps the
+    # remaining compiles, so total ~= max(compile wall, compute wall).
+    from fitsnap_tpu.parallel.fit import compile_futures
+    t0_cc = time.time()
+    futures = compile_futures(
+        [(step, (acc, batch)) for step, batch, _, _ in progs])
+    t_compile = 0.0
+    t_compute = 0.0
+    resident = []   # (batch, step_meta) for optional refine/mae passes
+    pending = set(range(len(progs)))
+    while pending:
+        # pick a finished compile if any, else block on the earliest
+        ready = [i for i in pending if futures[i].done()]
+        i = ready[0] if ready else min(pending)
+        cexe = futures[i].result()
+        if not t_compile:
+            t_compile = time.time() - t0_cc   # wall until first program ready
+        pending.discard(i)
+        step, batch, neighbors, label = progs[i]
+        t0 = time.time()
+        try:
+            acc = cexe(acc, batch)
+        except Exception:   # AOT input-layout mismatch: fall back to jit
+            acc = step(acc, batch)
         jax.block_until_ready(acc)
         resident.append((batch, neighbors))
         dt = time.time() - t0
         t_compute += dt
-        print(f"  program ({a_pad},{k_pad},S={S}) x{len(cfgs)} "
-              f"csize={csize}: {dt:.2f}s", flush=True)
+        print(f"  program {label}: {dt:.2f}s", flush=True)
 
     t0 = time.time()
     AtA_sum, Atb_sum, nrows_total = acc_finish(acc)
@@ -124,9 +154,9 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
             coeff = coeff + solver.solve(Atr)
         print(f"refine (2 passes): {time.time()-t0:.1f}s", flush=True)
     total = time.time() - t_all
-    print(f"rows {nrows_total:.0f}  pack {t_pack:.1f}s  device "
-          f"compute+transfer {t_compute:.1f}s "
-          f"({nrows_total/max(t_compute,1e-9):.0f} rows/s incl. compiles)",
+    print(f"rows {nrows_total:.0f}  pack {t_pack:.1f}s  compile "
+          f"{t_compile:.1f}s (concurrent)  device compute {t_compute:.1f}s "
+          f"({nrows_total/max(t_compute,1e-9):.0f} rows/s warm)",
           flush=True)
     print(f"download {t_down:.2f}s  solve {t_solve:.2f}s  "
           f"TOTAL end-to-end {total:.1f}s", flush=True)
@@ -170,6 +200,7 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
     return {
         "rows": float(nrows_total),
         "seconds": float(total),
+        "compile_seconds": float(t_compile),
         "compute_seconds": float(t_compute),
         "rows_per_sec": float(nrows_total / max(t_compute, 1e-9)),
         "coeff_maxdiff": dcoeff,

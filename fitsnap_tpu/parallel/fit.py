@@ -36,6 +36,36 @@ def _two_sum(a, b):
     return s, e
 
 
+def compile_concurrently(items):
+    """AOT-compile many jitted programs at once: [(jit_fn, args)] ->
+    [compiled executables], lowered serially (host tracing) but compiled
+    through a thread pool.  XLA compilation for the remote TPU happens
+    SERVER-side, so concurrent compile RPCs parallelize across the server's
+    cores — measured ~N programs in ~1.3x the wall time of one, vs Nx when
+    each program compiles lazily at first call.  This is what removes the
+    multi-program compile wall from large streamed fits (WBe: 8 bucket
+    programs used to pay ~290 s of serial compiles).
+
+    Compiled executables also land in the persistent compile cache, so a
+    caller that prefers calling the original jit fns still benefits.
+    """
+    return [f.result() for f in compile_futures(items)]
+
+
+def compile_futures(items):
+    """Like `compile_concurrently` but returns concurrent.futures so the
+    caller can start EXECUTING each program the moment its compile lands
+    (`future.result()`), overlapping device compute with the remaining
+    server-side compiles instead of barriering on all of them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    lowered = [fn.lower(*args) for fn, args in items]
+    ex = ThreadPoolExecutor(max_workers=max(len(lowered), 1))
+    futures = [ex.submit(lo.compile) for lo in lowered]
+    ex.shutdown(wait=False)
+    return futures
+
+
 def device_neighbors(pos_hi, pos_lo, svec_hi, svec_lo, natoms, cutoff,
                      k_pad):
     """On-device neighbor construction for one padded config.
