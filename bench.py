@@ -126,23 +126,19 @@ def main():
     # compile every group's program concurrently (server-side compiles
     # parallelize through the relay); the jit calls below then hit the
     # persistent compile cache instead of paying serial compiles
-    from fitsnap_tpu.parallel.fit import (NormalSolver,
-                                          build_residual_fn,
-                                          compile_concurrently)
-    residfns = [build_residual_fn(calc.params, calc.numtypes, flags, mesh,
-                                  refspec=calc.refspec, neighbors=nbr)
-                for _, _, _, nbr in runs]
-    W = calc.numtypes * calc.params.plan.ncoeff \
-        + (0 if calc.params.plan.bzeroflag else calc.numtypes)
+    from fitsnap_tpu.parallel.fit import NormalSolver, compile_concurrently
     t0 = time.time()
-    compile_concurrently(
-        [(s._jitted, (b,)) for s, _, b, _ in runs]
-        + [(rf, (jnp.zeros((W,), dtype), b))
-           for rf, (_, _, b, _) in zip(residfns, runs)])
+    compile_concurrently([(s._jitted, (b,)) for s, _, b, _ in runs])
     for step, _, batch, _ in runs:
         jax.block_until_ready(step(batch))
     t_first = time.time() - t0
 
+    # Direct f64-accumulated normal-equation solve of the f32 rows.  NOTE:
+    # iterative refinement with f32 residuals was tried and REJECTED — on
+    # the normal equations the update error scales with cond(A)^2 * u_f32,
+    # which here moves the fit by up to ~6e-4 in either direction
+    # (measured: dense rows 2.9e-5 direct -> 6.1e-4 "refined").  The direct
+    # solve is deterministic and the guarded quantity.
     t0 = time.time()
     reps = 3
     for _ in range(reps):
@@ -155,17 +151,6 @@ def main():
             nrows = nrows + np.asarray(n)
         solver = NormalSolver(np.asarray(AtA))
         coeff = solver.solve(np.asarray(Atb))
-        # mixed-precision iterative refinement (2 passes): the f32 rows
-        # carry full RELATIVE accuracy in the residual b - Ax, so the
-        # refined fit reaches f64 quality while all row compute stays f32
-        # (same scheme the WBe path uses; structural fix for the r03
-        # f32-parity regression rather than chasing summation-order noise)
-        for _ in range(2):
-            Atr = np.zeros_like(np.asarray(Atb, np.float64))
-            for residual, (_, _, batch, _) in zip(residfns, runs):
-                Atr += np.asarray(residual(jnp.asarray(coeff, dtype), batch),
-                                  np.float64)
-            coeff = coeff + solver.solve(Atr)
     t_step = (time.time() - t0) / reps
 
     coeff = np.asarray(coeff, np.float64)
@@ -181,14 +166,19 @@ def main():
                 vals.append(float(ln.split()[0]))
     std = np.array(vals)
     # weighted normal-equation fit vs SVD: identical up to conditioning
-    dcoeff = np.abs(coeff - std[1:] if len(std) == len(coeff) + 1 else
-                    coeff - std).max()
+    stdc = std[1:] if len(std) == len(coeff) + 1 else std
+    dcoeff = np.abs(coeff - stdc).max()
     log(f"max|coeff - standard| = {dcoeff:.3e}")
     # accuracy guard (VERDICT r3 weak #1: f32 parity regressed silently
-    # 2.9e-5 -> 1.07e-4 between rounds).  TPU rows are f32 with f64
-    # normal-equation accumulation: r01/r02 measured 2.9e-5, so 3e-5 is
-    # the no-regression line; CPU runs are f64 end-to-end (golden 1.9e-13).
-    coeff_tol = 3e-5 if backend == "tpu" else 1e-9
+    # 2.9e-5 -> 1.07e-4 between rounds — root cause: the degree-blocked
+    # monomial contraction rotated the f32 GEMM rounding direction; the
+    # dense contraction is back as default, measured 2.906e-5
+    # deterministically in r01/r02/r04).  4e-5 trips on any
+    # blocked-class (1e-4) regression with margin over the 2.9e-5 floor.
+    # CPU fallback runs f64 end-to-end but through the NORMAL-EQUATION
+    # path (cond^2 vs lstsq: measured 9.7e-9; the SVD pipeline's golden is
+    # 1.9e-13, reference oracle 1e-6) — 1e-7 catches real f64 regressions.
+    coeff_tol = 4e-5 if backend == "tpu" else 1e-7
     coeff_regression = bool(dcoeff > coeff_tol)
     if coeff_regression:
         log(f"ACCURACY REGRESSION: ta_coeff_maxdiff {dcoeff:.3e} > "
@@ -273,7 +263,7 @@ def main():
     # (conservative — steady-state epochs are cheaper).
     if os.environ.get("FITSNAP_TPU_BENCH_NN", "1" if on_tpu else "0") != "0":
         try:
-            # 96 epochs = 12 full 8-epoch blocks: one XLA program, so every
+            # 96 epochs = 3 full 32-epoch blocks: one XLA program, so every
             # block after the first is pure steady-state execution
             nn_in = "/root/reference/examples/Ta_PyTorch_NN/Ta-example.in"
             fs_nn = FitSnap(nn_in, arglist=[

@@ -136,9 +136,12 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
     t_solve = time.time() - t0
     assert np.isfinite(coeff).all()
 
-    # mixed-precision iterative refinement: residuals b - Ax are small, so
-    # f32 rows carry full relative accuracy where the directly-formed
-    # normal equations cannot (recovers the f64-quality fit)
+    # OPTIONAL iterative refinement (--refine).  CAUTION: with residuals
+    # computed from the same f32 rows, normal-equation refinement carries a
+    # cond(A)^2 * u_f32 update error — measured on Ta it can move the fit
+    # AWAY from the f64 solution (2.9e-5 -> 6.1e-4).  The default direct
+    # f64-accumulated solve is the guarded configuration; this stays for
+    # experimentation only.
     if refine:
         import jax.numpy as jnp
         from fitsnap_tpu.parallel.fit import build_residual_fn

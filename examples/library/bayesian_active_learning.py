@@ -40,6 +40,7 @@ parser.add_argument("--max-unlabeled", type=int, default=0,
 parser.add_argument("--max-training", type=int, default=0,
                     help="subsample the initial training pool (0 = all)")
 parser.add_argument("--seed", type=int, default=3)
+parser.add_argument("--twojmax", type=int, default=6)
 cli = parser.parse_args()
 
 
@@ -47,7 +48,7 @@ def make_fs(data_path):
     groups = sorted(d.name for d in os.scandir(data_path) if d.is_dir())
     settings = {
         "BISPECTRUM": {
-            "numTypes": 1, "twojmax": 6, "rcutfac": 4.67637,
+            "numTypes": 1, "twojmax": cli.twojmax, "rcutfac": 4.67637,
             "rfac0": 0.99363, "rmin0": 0.0, "wj": 1.0, "radelem": 0.5,
             "type": "Ta", "bzeroflag": 0,
         },

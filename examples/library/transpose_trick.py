@@ -28,12 +28,13 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--data", default=f"{EXAMPLES}/Ta_Linear_JCP2014/JSON")
 parser.add_argument("--groups", nargs="*",
                     default=["Displaced_A15", "Volume_BCC"])
+parser.add_argument("--twojmax", type=int, default=6)
 parser.add_argument("--ridge-alpha", type=float, default=0.0)
 cli = parser.parse_args()
 
 settings = {
     "BISPECTRUM": {
-        "numTypes": 1, "twojmax": 6, "rcutfac": 4.67637, "rfac0": 0.99363,
+        "numTypes": 1, "twojmax": cli.twojmax, "rcutfac": 4.67637, "rfac0": 0.99363,
         "rmin0": 0.0, "wj": 1.0, "radelem": 0.5, "type": "Ta",
         "bzeroflag": 0,
     },

@@ -426,19 +426,19 @@ def _pair_wu_duals(disp, jelem, mask, ielem, p: SnapParams):
     Mp = jnp.stack(Mp, -1)                # (A, K, n_mono)
     Mt = jnp.stack(Mt, -1)                # (3, A, K, n_mono)
 
-    # Degree-blocked change of basis: L is exactly block-diagonal (monomials
-    # of degree j map only to the U^j columns; mono_blocks), so contracting
-    # per block skips the ~98% structural zeros of the dense L.  Measured on
-    # TPU v5e: steady-state identical to the dense GEMM (the fused kernel is
-    # HBM-bound, not MXU-bound), but ~2x faster to compile at twojmax 6 and
-    # 5x fewer MXU flops — the honest formulation at no cost.
     from fitsnap_tpu.ops.mono import mono_blocks
     blocks, u_cols = mono_blocks(plan.twojmax)
 
-    if os.environ.get("FITSNAP_TPU_DENSE_L") == "1":   # A/B numerics probe
-        def blockmm(M):
-            return M @ Lj
-    else:
+    # Default = the DENSE GEMM.  The degree-blocked contraction (round 3,
+    # kept behind FITSNAP_TPU_BLOCKED_L=1) is exactly equal at f64 and cuts
+    # MXU flops ~5x, but the kernel is HBM-bound so steady-state is
+    # IDENTICAL on TPU — and the different f32 accumulation grouping
+    # rotates the rounding-error direction, degrading Ta coefficient
+    # parity 2.9e-5 -> 1.07e-4 through the normal equations'
+    # conditioning (the r03 "f32 regression"; A/B-measured on v5e, both
+    # variants have the same 7.8e-7 descriptor rel error).  Equal speed +
+    # 4x better guarded accuracy => dense wins.
+    if os.environ.get("FITSNAP_TPU_BLOCKED_L") == "1":
         def blockmm(M):
             reals, imags = [], []
             for (r0, r1, c0, c1) in blocks:
@@ -446,6 +446,9 @@ def _pair_wu_duals(disp, jelem, mask, ielem, p: SnapParams):
                 reals.append(sub @ Lj[r0:r1, c0:c1])
                 imags.append(sub @ Lj[r0:r1, u_cols + c0:u_cols + c1])
             return jnp.concatenate(reals + imags, axis=-1)
+    else:
+        def blockmm(M):
+            return M @ Lj
 
     U = blockmm(Mp)                       # (A, K, 2U)
     Ut = blockmm(Mt)                      # (3, A, K, 2U)

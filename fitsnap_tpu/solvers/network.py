@@ -801,9 +801,15 @@ class NetworkSolver(Solver):
         opt = optax.scale_by_adam()
         opt_state = opt.init(self.params)
         sched_on = bool(getattr(net, "lr_plateau_flag", False))
-        sched0 = (jnp.asarray(float(net.learning_rate)),  # current lr
-                  jnp.asarray(np.inf),                    # best metric seen
-                  jnp.asarray(0, np.int32))               # bad-epoch count
+        # STRONG dtypes everywhere in the scan carry: a weak-typed scalar
+        # (e.g. bare jnp.asarray(np.inf)) strengthens after the first jitted
+        # block, changing the call signature and silently recompiling the
+        # whole block program a second time (measured: a duplicated ~20 s
+        # compile attributed to "warm" epochs)
+        fdt = jnp.zeros(()).dtype
+        sched0 = (jnp.asarray(float(net.learning_rate), fdt),  # current lr
+                  jnp.asarray(np.inf, fdt),          # best metric seen
+                  jnp.asarray(0, jnp.int32))         # bad-epoch count
         if self._warm_opt is not None:
             # resume also restores the Adam moments (reference
             # solvers/pytorch.py:105-109 optimizer_state_dict); stored as
@@ -986,8 +992,14 @@ class NetworkSolver(Solver):
                 check_vma=False))
         else:
             train_fn = jax.jit(train_block)
-        BLOCK = 8
-        carry = (self.params, opt_state, jnp.asarray(np.inf),
+        # 32-epoch blocks: each block is ONE dispatch through the (remote)
+        # device, so per-epoch overhead = dispatch latency / BLOCK.  8 was
+        # measured at 0.26 s/epoch warm on the relay (dispatch-dominated);
+        # 32 quarters that.  The block program's shape depends only on
+        # min(BLOCK, E), so epoch-count tuning still never recompiles
+        # beyond the one remainder program.
+        BLOCK = int(os.environ.get("FITSNAP_TPU_NN_BLOCK", "32"))
+        carry = (self.params, opt_state, jnp.asarray(np.inf, fdt),
                  self.params, opt_state, sched0)
         tls_l, vls_l, lrs_l = [], [], []
         # (epochs, seconds) per dispatched block; the first full-BLOCK entry
@@ -1002,15 +1014,18 @@ class NetworkSolver(Solver):
             carry, hist = train_fn(carry, blk, dev_buckets, vplans_t)
             jax.block_until_ready(hist)
             self.block_times.append((eb, time.time() - t0))
-            tls_l.append(np.asarray(hist[0]))
-            vls_l.append(np.asarray(hist[1]))
-            lrs_l.append(np.asarray(hist[2]))
+            # keep per-block history device-resident; download once at the
+            # end (device->host transfers through the relay are the cost)
+            tls_l.append(hist[0])
+            vls_l.append(hist[1])
+            lrs_l.append(hist[2])
             e0 += eb
         _, _, _, best_params, best_opt, sched_f = carry
         self.final_lr = float(sched_f[0])
-        tls = np.concatenate(tls_l) if tls_l else np.zeros(0)
-        vls = np.concatenate(vls_l) if vls_l else np.zeros(0)
-        self.lr_history = (np.concatenate(lrs_l) if lrs_l
+        # one device->host transfer per curve, not one per block
+        tls = np.asarray(jnp.concatenate(tls_l)) if tls_l else np.zeros(0)
+        vls = np.asarray(jnp.concatenate(vls_l)) if vls_l else np.zeros(0)
+        self.lr_history = (np.asarray(jnp.concatenate(lrs_l)) if lrs_l
                            else np.zeros(0))
         self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
         self.params = best_params

@@ -50,7 +50,9 @@ def test_loop_over_fits(tmp_path, monkeypatch, capsys):
 
 @pytest.mark.heavy
 def test_transpose_trick(tmp_path, monkeypatch, capsys):
-    out = _run("transpose_trick.py", ["--groups", "Liquid", "Surface"],
+    out = _run("transpose_trick.py",
+               ["--groups", "Displaced_A15", "Volume_BCC",
+                "--twojmax", "4"],
                tmp_path, monkeypatch, capsys)
     diff = float(out.rsplit("coefficient diff:", 1)[1].split()[0])
     assert diff < 1e-6
@@ -61,7 +63,7 @@ def test_transpose_trick(tmp_path, monkeypatch, capsys):
 def test_bayesian_active_learning(tmp_path, monkeypatch, capsys):
     out = _run("bayesian_active_learning.py",
                ["--iterations", "2", "--batch", "1", "--max-unlabeled", "5",
-                "--max-training", "10"],
+                "--max-training", "10", "--twojmax", "4"],
                tmp_path, monkeypatch, capsys)
     assert "iter 1:" in out and "acquiring" in out
     assert (tmp_path / "AL_pot.snapcoeff").exists()

@@ -25,15 +25,6 @@ def _run(example_in):
     return fs
 
 
-@pytest.mark.heavy
-def test_ta_xyz_golden(tmp_path, monkeypatch):
-    monkeypatch.chdir(tmp_path)
-    ex = REFERENCE / "examples/Ta_XYZ"
-    fs = _run(ex / "Ta-example.in")
-    std = read_snapcoeff(ex / "19Nov19_Standard/Ta_pot.snapcoeff")
-    assert np.abs(fs.solver.fit - std).max() < 1e-6
-
-
 def test_xyz_group_scrape_cache_roundtrip(tmp_path, monkeypatch):
     """save_group_scrape writes the per-group frame byte offsets;
     read_group_scrape reuses them and reproduces the identical scrape

@@ -16,10 +16,10 @@ pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
                                 reason="reference examples not available")
 
 
-def _settings(rcutfac=4.67637):
+def _settings(rcutfac=4.67637, twojmax=6):
     return {
         "BISPECTRUM": {
-            "numTypes": 1, "twojmax": 6, "rcutfac": rcutfac,
+            "numTypes": 1, "twojmax": twojmax, "rcutfac": rcutfac,
             "rfac0": 0.99363, "rmin0": 0.0, "wj": 1.0, "radelem": 0.5,
             "type": "Ta", "wselfallflag": 0, "chemflag": 0,
             "bzeroflag": 0, "quadraticflag": 0,
@@ -70,7 +70,10 @@ def test_loop_over_fits_hyperparam_mutation(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from fitsnap_tpu.fitsnap import FitSnap
 
-    fs = FitSnap(_settings(), arglist=["--overwrite"])
+    # twojmax 4: this test checks the mutation API plumbing (plans refresh,
+    # weights reapply), not descriptor physics — the smaller kernel cuts the
+    # two unavoidable recompiles (rcutfac change => new shapes) ~4x
+    fs = FitSnap(_settings(twojmax=4), arglist=["--overwrite"])
     fs.scrape_configs()
     fs.process_configs(delete_data=False)
     fs.perform_fit()

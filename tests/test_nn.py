@@ -388,7 +388,7 @@ def test_nn_plateau_lr_halves_in_training(nn_fixture):
            net.lr_plateau_threshold)
     saved = [(np.asarray(w), np.asarray(b)) for w, b in fs.solver.params]
     try:
-        net.num_epochs = 10       # spans one 8-epoch block + remainder
+        net.num_epochs = 10
         net.lr_plateau_flag = 1
         net.lr_plateau_patience = 1
         net.lr_plateau_threshold = 1e9   # nothing ever improves...

@@ -22,7 +22,7 @@ def test_tarball_screen2file_log(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     from fitsnap_tpu.fitsnap import FitSnap
 
-    fs = FitSnap(_settings(), arglist=[
+    fs = FitSnap(_settings(twojmax=4), arglist=[
         "--overwrite", "--tarball", "--screen2file", "screen.txt",
         "--log", "run.log"])
     fs.scrape_configs()
@@ -65,7 +65,7 @@ def test_jaxprof_writes_trace(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     inp = tmp_path / "prof.in"
     from fitsnap_tpu.tools.config_convert import settings_dict_to_input
-    settings_dict_to_input(_settings(), str(inp))
+    settings_dict_to_input(_settings(twojmax=4), str(inp))
     monkeypatch.setattr(sys, "argv", [
         "fitsnap_tpu", str(inp), "--overwrite",
         "--jaxprof", str(tmp_path / "trace")])

@@ -8,7 +8,7 @@ full pipeline on the shipped example and assert max abs coefficient diff vs
 import numpy as np
 import pytest
 
-from tests.util import TA_EXAMPLE, read_snapcoeff
+from tests.util import REFERENCE, TA_EXAMPLE, read_snapcoeff
 
 pytestmark = pytest.mark.skipif(not TA_EXAMPLE.exists(),
                                 reason="reference examples not available")
@@ -35,3 +35,22 @@ def test_ta_linear_golden(tmp_path, monkeypatch):
     assert "('*ALL', 'Unweighted', 'Training', 'Energy')" in metrics
     # headline unweighted energy MAE from the committed standard
     assert "0.112787" in metrics
+
+
+@pytest.mark.heavy
+def test_ta_xyz_golden(tmp_path, monkeypatch):
+    """Extended-XYZ scraper golden (19Nov19_Standard).  Lives in this
+    file ON PURPOSE: it runs right after the JSON golden, whose bucket
+    shapes match (same structures, f32-rounded), so the descriptor
+    programs are already compiled in-process (was 301 s standalone,
+    ~55 s here)."""
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    monkeypatch.chdir(tmp_path)
+    ex = REFERENCE / "examples/Ta_XYZ"
+    fs = FitSnap(str(ex / "Ta-example.in"), arglist=["--overwrite"])
+    fs.scrape_configs()
+    fs.process_configs()
+    fs.perform_fit()
+    std = read_snapcoeff(ex / "19Nov19_Standard/Ta_pot.snapcoeff")
+    assert np.abs(fs.solver.fit - std).max() < 1e-6

@@ -53,7 +53,11 @@ def _params():
 
 
 @pytest.mark.heavy
-@pytest.mark.parametrize("a_pad", [64, 72])
+@pytest.mark.parametrize("a_pad", [
+    # 72 (non-divisible: remainder-shard padding) is the hard case and runs
+    # in the default tier; 64 (evenly divisible) adds ~53 s for a strictly
+    # easier configuration, so it lives in the slow tier
+    pytest.param(64, marks=pytest.mark.slow), 72])
 def test_spatial_rows_match_single_device(a_pad):
     """8-way atom-sharded normal equations == single-device (a_pad=72
     additionally exercises padding atoms spread across shards)."""
