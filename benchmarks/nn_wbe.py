@@ -73,6 +73,15 @@ def run(limit=None, epochs=16, batch_size=16):
     """Train the WBe NN; returns a result dict for bench.py."""
     import jax
     jax.config.update("jax_enable_x64", True)
+    # 4-epoch dispatch blocks: at ~1.6k steps/epoch a 32-epoch block is one
+    # multi-minute device RPC — the remote relay occasionally drops those
+    # (UNAVAILABLE); 4 keeps each dispatch ~tens of seconds and still gives
+    # 3 post-compile blocks at the default 16 epochs for the warm rate
+    os.environ.setdefault("FITSNAP_TPU_NN_BLOCK", "4")
+    # constant per-step atom count across buckets: WBe mixes 8-atom EOS
+    # cells with 512-atom surfaces, and config-count batches leave the
+    # small-atom buckets (11k configs!) at ~2% utilization per step
+    os.environ.setdefault("FITSNAP_TPU_NN_ATOMS_PER_BATCH", "4096")
 
     from fitsnap_tpu.fitsnap import FitSnap
     from fitsnap_tpu.utils.jaxsetup import setup_cache, warm_transfers

@@ -58,6 +58,24 @@ def _plateau_step(sched, metric, *, factor, patience, threshold, lr_min,
     return (lr, best, bad.astype(sched[2].dtype))
 
 
+def _plateau_step_host(sched, metric, *, factor, patience, threshold,
+                       lr_min, eps=1e-8):
+    """Pure-Python mirror of `_plateau_step` for the chunked training path,
+    where the scheduler runs in the host epilogue between per-bucket-chunk
+    device programs (same torch semantics; sched = (lr, best, bad))."""
+    lr, best, bad = sched
+    improved = metric < best - threshold
+    best = metric if improved else best
+    bad = 0 if improved else bad + 1
+    trip = bad > patience
+    new_lr = max(lr * factor, lr_min)
+    if trip and (lr - new_lr > eps):
+        lr = new_lr
+    if trip:
+        bad = 0
+    return (lr, best, bad)
+
+
 class NetworkSolver(Solver):
     def __init__(self, name, config):
         super().__init__(name, config, linear=False)
@@ -98,9 +116,18 @@ class NetworkSolver(Solver):
         # forces by autodiff instead (FLOPs are cheap, HBM is not)
         mode = getattr(self.net, "dgrad_mode", "auto")
         if mode in ("auto", "otf"):
+            import os
             from fitsnap_tpu.parallel.fit import plan_pos_buckets
             packed = [calculator._pack(d) for d in data]
-            pos_groups = plan_pos_buckets(packed, calculator.cutoff)
+            # natural shape buckets; merging everything into a handful of
+            # covering shapes was tried and rejected (the WBe merge created
+            # (32,384,S=1089)-class shapes whose training backward blows
+            # HBM).  Program size is bounded in perform_fit instead: at most
+            # FITSNAP_TPU_NN_FUSED_BUCKETS bucket bodies per XLA program.
+            pos_groups = plan_pos_buckets(
+                packed, calculator.cutoff,
+                max_programs=int(os.environ.get(
+                    "FITSNAP_TPU_NN_MAX_PROGRAMS", "10")))
             if mode == "auto":
                 import os
                 limit = int(os.environ.get("FITSNAP_TPU_NN_G_LIMIT",
@@ -251,35 +278,9 @@ class NetworkSolver(Solver):
         sum_b = None
         sumsq_b = None
         count = 0
-        for g in pos_groups:
-            cfgs, a_pad, s_table = g["configs"], g["a_pad"], g["s_table"]
-            n = len(cfgs)
-            k_pad = int(min(g["k_pad"], a_pad * len(s_table)))
-            (pos_hi, pos_lo, svec_hi, svec_lo, types, nat, _cell, e_t, f_t,
-             _st, ew, fw, _vw) = (x[0] for x in pack_batch_pos(
-                 cfgs, a_pad, n, s_table, dtype))
-            test = np.array([bool(pc.data["test_bool"]) for pc in cfgs])
-            groups = [pc.data["Group"] for pc in cfgs]
-            files = [str(pc.data.get("File", "")) for pc in cfgs]
 
-            # upload once; training gathers minibatches from these arrays
-            ph = jnp.asarray(pos_hi)
-            pl = jnp.asarray(pos_lo)
-            sh = jnp.asarray(svec_hi)
-            sl = jnp.asarray(svec_lo)
-            tt = jnp.asarray(types)
-            nad = jnp.asarray(nat)
-
-            # bound the (A, S, A) neighbor-candidate transient
-            S = len(s_table)
-            chunk = int(min(32, max(1, (1 << 26) // (a_pad * S * a_pad)), n))
-            C = -(-n // chunk)
-            n_pad = C * chunk
-            idx_plan = np.minimum(np.arange(n_pad), n - 1) \
-                .reshape(C, chunk).astype(np.int32)
-            # the clipped tail duplicates config n-1: exclude from stats
-            valid = (np.arange(n_pad) < n).reshape(C, chunk)
-
+        def make_stats(n, n_pad, k_pad):
+            """Per-bucket stats program (factory: binds loop vars early)."""
             def one_cfg(ph_c, pl_c, sh_c, sl_c, t, na):
                 d, j, m = device_neighbors(ph_c, pl_c, sh_c, sl_c, na,
                                            cutoff, k_pad)
@@ -311,9 +312,64 @@ class NetworkSolver(Solver):
                         f_tgt.reshape(n_pad, ph.shape[1], 3)[:n],
                         sb.sum(0), ssq.sum(0), cnt.sum())
 
-            e_target, f_target, sb, ssq, cnt = jax.jit(stats_bucket)(
-                ph, pl, sh, sl, tt, nad, jnp.asarray(e_t), jnp.asarray(f_t),
-                jnp.asarray(idx_plan), jnp.asarray(valid))
+            return jax.jit(stats_bucket)
+
+        # phase 1: pack + (async) upload every bucket, build its stats
+        # program; phase 2: compile all stats programs concurrently
+        # (server-side compiles parallelize through the relay); phase 3:
+        # execute.  The serial version paid one compile wall per bucket.
+        staged = []
+        for g in pos_groups:
+            cfgs, a_pad, s_table = g["configs"], g["a_pad"], g["s_table"]
+            n = len(cfgs)
+            k_pad = int(min(g["k_pad"], a_pad * len(s_table)))
+            (pos_hi, pos_lo, svec_hi, svec_lo, types, nat, _cell, e_t, f_t,
+             _st, ew, fw, _vw) = (x[0] for x in pack_batch_pos(
+                 cfgs, a_pad, n, s_table, dtype))
+            test = np.array([bool(pc.data["test_bool"]) for pc in cfgs])
+            groups = [pc.data["Group"] for pc in cfgs]
+            files = [str(pc.data.get("File", "")) for pc in cfgs]
+
+            # upload once; training gathers minibatches from these arrays
+            ph = jnp.asarray(pos_hi)
+            pl = jnp.asarray(pos_lo)
+            sh = jnp.asarray(svec_hi)
+            sl = jnp.asarray(svec_lo)
+            tt = jnp.asarray(types)
+            nad = jnp.asarray(nat)
+
+            # bound the (A, S, A) neighbor-candidate transient
+            S = len(s_table)
+            chunk = int(min(32, max(1, (1 << 26) // (a_pad * S * a_pad)), n))
+            C = -(-n // chunk)
+            n_pad = C * chunk
+            idx_plan = np.minimum(np.arange(n_pad), n - 1) \
+                .reshape(C, chunk).astype(np.int32)
+            # the clipped tail duplicates config n-1: exclude from stats
+            valid = (np.arange(n_pad) < n).reshape(C, chunk)
+
+            fn = make_stats(n, n_pad, k_pad)
+            args = (ph, pl, sh, sl, tt, nad, jnp.asarray(e_t),
+                    jnp.asarray(f_t), jnp.asarray(idx_plan),
+                    jnp.asarray(valid))
+            staged.append((fn, args, dict(
+                a_pad=a_pad, k_pad=k_pad, n=n, nat=nat, types=types,
+                test=test, groups=groups, files=files, ew=ew, fw=fw,
+                ph=ph, pl=pl, sh=sh, sl=sl, tt=tt)))
+
+        from fitsnap_tpu.parallel.fit import compile_concurrently
+        try:
+            compile_concurrently([(fn, args) for fn, args, _ in staged])
+        except Exception:   # pragma: no cover - lazy path still works
+            pass
+
+        for fn, args, m in staged:
+            a_pad, k_pad, n = m["a_pad"], m["k_pad"], m["n"]
+            nat, types = m["nat"], m["types"]
+            test, groups, files = m["test"], m["groups"], m["files"]
+            ew, fw = m["ew"], m["fw"]
+            ph, pl, sh, sl, tt = m["ph"], m["pl"], m["sh"], m["sl"], m["tt"]
+            e_target, f_target, sb, ssq, cnt = fn(*args)
 
             real = (np.arange(a_pad)[None, :] < nat[:, None])
             sb = np.asarray(sb, np.float64)
@@ -857,6 +913,25 @@ class NetworkSolver(Solver):
                     "training needs at least one example per device per "
                     "minibatch — raise batch_size or lower --devices")
             bsz = min(bs, n)
+            # opt-in atoms-based sizing: datasets mixing 8-atom and
+            # 512-atom configs leave small-atom buckets at tiny per-step
+            # work (config-count batches are the reference's semantics);
+            # FITSNAP_TPU_NN_ATOMS_PER_BATCH targets a constant per-step
+            # atom count instead, which is what sets both gradient noise
+            # and TPU utilization
+            apb = int(os.environ.get("FITSNAP_TPU_NN_ATOMS_PER_BATCH", "0"))
+            if apb and ds is not None:
+                a_pad_b = int(ds["real"].shape[1])
+                bsz = min(n, max(bsz, apb // max(a_pad_b, 1)))
+                # HBM guard: the OTF descriptor backward materializes
+                # ~600-float-per-pair tangents, so bound PAIRS per step
+                # (390k pairs ~ 0.9 GB of tangents; a (512,96) bucket at
+                # 196k pairs is measured-good on v5e)
+                k_pad_b = (int(ds["kshape"].shape[-1]) if "kshape" in ds
+                           else int(ds["jidx"].shape[-1]) if "jidx" in ds
+                           else 0)
+                if k_pad_b:
+                    bsz = min(bsz, max(1, 390_000 // (a_pad_b * k_pad_b)))
             if self.otf and ds is not None:
                 a_pad = int(ds["real"].shape[1])
                 S = int(ds["svec_hi"].shape[1])
@@ -976,6 +1051,19 @@ class NetworkSolver(Solver):
                                 carry, perms)
 
         vplans_t = tuple(val_plans)
+        # Program-size bound: one XLA program holding EVERY bucket's train
+        # and val bodies reliably faults the v5e at ~8 OTF bodies ("TPU
+        # device error ... kernel fault"), while the same buckets train fine
+        # in smaller programs.  Above FUSED buckets, switch to per-epoch
+        # dispatch of per-bucket-chunk programs with a host epilogue
+        # (best-params tracking by immutable array reference + host plateau
+        # scheduler).  The fused multi-epoch block path below stays the
+        # fast path for the common few-bucket case.
+        FUSED = int(os.environ.get("FITSNAP_TPU_NN_FUSED_BUCKETS", "4"))
+        if len(tkeys) > FUSED and ndev == 1:
+            return self._fit_chunked(
+                opt, opt_state, loss_fn, net, E, FUSED, fdt, sched_on,
+                tkeys, train_perms, vkeys, vplans_t, dev_buckets, nelem_net)
         if ndev > 1:
             # SPMD over the dp mesh: datasets and params replicated, every
             # index plan sharded on its minibatch axis; each device gathers
@@ -1030,7 +1118,9 @@ class NetworkSolver(Solver):
         self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
         self.params = best_params
         self.fit = None  # nonlinear: no coefficient vector
+        return self._finalize_fit(best_opt, net, nelem_net)
 
+    def _finalize_fit(self, best_opt, net, nelem_net):
         with open("loss_vs_epochs.dat", "w") as f:
             for e, tl, vl in self.history:
                 f.write(f"{e} {tl:.8e} {vl:.8e}\n")
@@ -1068,6 +1158,110 @@ class NetworkSolver(Solver):
             except ModuleNotFoundError:
                 pass
         return self.params
+
+    def _fit_chunked(self, opt, opt_state, loss_fn, net, E, FUSED, fdt,
+                     sched_on, tkeys, train_perms, vkeys, vplans_t,
+                     dev_buckets, nelem_net):
+        """Per-epoch dispatch of per-bucket-chunk programs.
+
+        Used when the dataset spans more than FUSED shape buckets: inlining
+        every bucket's train+val body into one epoch-block program produces
+        an XLA program the TPU faults on (measured at 8 OTF bodies on v5e,
+        WBe full dataset).  Here each program covers <= FUSED buckets'
+        minibatch scans for ONE epoch; params/opt thread through sequential
+        chunk calls, and the epilogue (validation combine, best-checkpoint
+        tracking by immutable array reference, the plateau scheduler) runs
+        on host between epochs.  Same math as the fused path — verified
+        equal trajectories in tests/test_nn.py (chunked-vs-fused).
+        """
+        import optax
+
+        chunks = [list(range(i, min(i + FUSED, len(tkeys))))
+                  for i in range(0, len(tkeys), FUSED)]
+        vchunks = [list(range(i, min(i + FUSED, len(vkeys))))
+                   for i in range(0, len(vkeys), FUSED)]
+
+        def make_train(nslots):
+            def run(params, opt_state, lr, bufs, perms_e):
+                tl_sum = jnp.zeros(())
+                for k in range(nslots):
+                    def step(c, idx, _k=k):
+                        p, s = c
+                        batch = {kk: v[idx] for kk, v in bufs[_k].items()}
+                        loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+                        updates, s = opt.update(grads, s)
+                        updates = jax.tree.map(
+                            lambda u: -(lr.astype(u.dtype)) * u, updates)
+                        return (optax.apply_updates(p, updates), s), loss
+                    (params, opt_state), losses = jax.lax.scan(
+                        step, (params, opt_state), perms_e[k])
+                    tl_sum = tl_sum + losses.sum()
+                return params, opt_state, tl_sum
+            return jax.jit(run)
+
+        def make_val(nslots):
+            def run(params, bufs, vplans):
+                vl_sum = jnp.zeros(())
+                for k in range(nslots):
+                    def vstep(_, idx, _k=k):
+                        batch = {kk: v[idx] for kk, v in bufs[_k].items()}
+                        return None, loss_fn(params, batch)
+                    _, vls = jax.lax.scan(vstep, None, vplans[k])
+                    vl_sum = vl_sum + vls.sum()
+                return vl_sum
+            return jax.jit(run)
+
+        train_fns = [make_train(len(c)) for c in chunks]
+        val_fns = [make_val(len(c)) for c in vchunks]
+        tbufs = [tuple(dev_buckets[tkeys[s]] for s in c) for c in chunks]
+        vbufs = [tuple(dev_buckets[vkeys[s]] for s in c) for c in vchunks]
+        tn = sum(int(p.shape[1]) for p in train_perms)
+        vn = sum(int(v.shape[0]) for v in vplans_t)
+
+        params = self.params
+        sched = (float(net.learning_rate), np.inf, 0)
+        best_val = np.inf
+        best_params, best_opt = params, opt_state
+        tls = np.zeros(E)
+        vls = np.zeros(E)
+        lrs = np.zeros(E)
+        self.block_times = []
+        for e in range(E):
+            t0 = time.time()
+            lr_dev = jnp.asarray(sched[0], fdt)
+            tl_sum = 0.0
+            for ci, c in enumerate(chunks):
+                perms_e = tuple(jnp.asarray(train_perms[s][e]) for s in c)
+                params, opt_state, ts = train_fns[ci](
+                    params, opt_state, lr_dev, tbufs[ci], perms_e)
+                tl_sum += float(ts)
+            tl = tl_sum / max(tn, 1)
+            if vkeys:
+                vl_sum = 0.0
+                for ci, c in enumerate(vchunks):
+                    vplans_c = tuple(vplans_t[s] for s in c)
+                    vl_sum += float(val_fns[ci](params, vbufs[ci], vplans_c))
+                vl = vl_sum / max(vn, 1)
+            else:
+                vl = tl
+            if vl <= best_val:
+                # jax arrays are immutable: holding the reference IS the
+                # checkpoint, no copy needed
+                best_val, best_params, best_opt = vl, params, opt_state
+            if sched_on:
+                sched = _plateau_step_host(
+                    sched, vl, factor=net.lr_plateau_factor,
+                    patience=net.lr_plateau_patience,
+                    threshold=net.lr_plateau_threshold, lr_min=net.lr_min)
+            tls[e], vls[e], lrs[e] = tl, vl, sched[0]
+            self.block_times.append((1, time.time() - t0))
+
+        self.final_lr = float(sched[0])
+        self.lr_history = lrs
+        self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
+        self.params = best_params
+        self.fit = None
+        return self._finalize_fit(best_opt, net, nelem_net)
 
     # ------------- evaluation / errors -------------
 

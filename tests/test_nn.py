@@ -411,3 +411,52 @@ def test_nn_plateau_lr_halves_in_training(nn_fixture):
          net.lr_plateau_threshold) = old
         fs.solver.params = [(jnp.asarray(w), jnp.asarray(b))
                             for w, b in saved]
+
+
+def test_nn_chunked_matches_fused(tmp_path, monkeypatch):
+    """Above FITSNAP_TPU_NN_FUSED_BUCKETS shape buckets, training switches
+    to per-epoch per-bucket-chunk programs with a host epilogue (the fused
+    all-buckets program faults real TPUs at ~8 OTF bodies).  Both paths run
+    the same math in the same order: identical loss/LR trajectories."""
+    monkeypatch.chdir(tmp_path)
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    fs0 = FitSnap(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" / "Ta-example.in"),
+                  arglist=["--overwrite"])
+    fs0.scrape_configs()
+    by_group = {}
+    for d in fs0.data:
+        by_group.setdefault(d["Group"], []).append(d)
+    # mix small and large cells so prepare_dataset yields >= 2 buckets
+    shared = (by_group["Displaced_BCC"][:4] + by_group["Displaced_A15"][:3]
+              + by_group["Volume_FCC"][:3])
+
+    def run(fused_limit):
+        monkeypatch.setenv("FITSNAP_TPU_NN_FUSED_BUCKETS", str(fused_limit))
+        fs = FitSnap(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" /
+                         "Ta-example.in"), arglist=["--overwrite"])
+        net = fs.config.sections["PYTORCH"]
+        net.num_epochs = 6
+        net.manual_seed_flag = 1
+        net.save_state_output = "None"
+        net.output_file = "None"
+        # plateau settings that actually trip within 6 epochs, so the
+        # chunked host scheduler is exercised against the jitted one
+        net.lr_plateau_patience = 1
+        net.lr_plateau_threshold = 1e9
+        fs.solver.prepare_dataset(fs.calculator, shared)
+        fs.solver.perform_fit(calculator=fs.calculator, data=shared)
+        return fs.solver
+
+    s_fused = run(99)
+    assert len(s_fused.buckets) >= 2, "fixture must span >= 2 buckets"
+    s_chunk = run(1)
+    h_f = np.asarray(s_fused.history, float)
+    h_c = np.asarray(s_chunk.history, float)
+    np.testing.assert_allclose(h_c, h_f, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(s_chunk.lr_history, s_fused.lr_history,
+                               rtol=1e-12)
+    assert s_chunk.final_lr == s_fused.final_lr
+    for (wc, bc), (wf, bf) in zip(s_chunk.params, s_fused.params):
+        np.testing.assert_allclose(np.asarray(wc), np.asarray(wf),
+                                   rtol=1e-6, atol=1e-9)
