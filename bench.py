@@ -196,27 +196,33 @@ def main():
     log(f"energy MAE {mae_e:.6f} (standard 0.112787)  "
         f"force MAE {mae_f:.6f} (standard 0.075758)")
 
-    # XLA-estimated FLOPs of the steady step -> achieved TFLOP/s.  This is
-    # a utilization diagnostic, not the optimization target: the hot path
-    # is HBM-bound (small descriptor GEMMs), so "speed of light" here is
-    # bandwidth, and flops/byte is what the monomial formulation maximizes.
-    flops = 0.0
+    # Roofline numbers for the steady step: XLA-estimated FLOPs and bytes
+    # accessed -> achieved TFLOP/s and GB/s.  The hot path is HBM-bound
+    # (small descriptor GEMMs; flops/byte is what the monomial formulation
+    # maximizes), so the number that substantiates "speed of light" claims
+    # is achieved GB/s against the v5e HBM peak (~819 GB/s).
+    flops = bytes_acc = 0.0
     for step, _, batch, _ in runs:
         try:
             ca = step._jitted.lower(batch).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops += float(ca.get("flops", 0.0))
+            bytes_acc += float(ca.get("bytes accessed", 0.0))
         except Exception:   # noqa: BLE001 - diagnostic only
-            flops = 0.0
+            flops = bytes_acc = 0.0
             break
 
     end_to_end = t_scrape + t_pre + t_pack + t_put + t_step
+    # cold = the same pipeline charged with the first-call wall (XLA compile
+    # or persistent-cache load + first execution) instead of a steady step
+    cold = t_scrape + t_pre + t_pack + t_put + t_first
     rows_per_sec = nrows / t_step
     log(f"scrape {t_scrape:.2f}s  preprocess {t_pre:.2f}s  pack {t_pack:.2f}s"
         f"  device_put {t_put:.2f}s")
     log(f"first step (compile) {t_first:.2f}s  steady step {t_step:.3f}s")
-    log(f"end-to-end (amortized) {end_to_end:.2f}s  rows/s {rows_per_sec:.0f}")
+    log(f"end-to-end (amortized) {end_to_end:.2f}s  cold {cold:.2f}s  "
+        f"rows/s {rows_per_sec:.0f}")
 
     result = {
         "metric": "ta_linear_fit_seconds",
@@ -225,7 +231,10 @@ def main():
         "vs_baseline": round(10.0 / end_to_end, 2),
         "extra": {
             "ta_rows_per_sec": round(rows_per_sec),
-            **({"ta_step_tflops_per_sec": round(flops / t_step / 1e12, 3)}
+            "ta_seconds_cold": round(cold, 2),
+            **({"ta_step_tflops_per_sec": round(flops / t_step / 1e12, 3),
+                "ta_step_gbps": round(bytes_acc / t_step / 1e9, 1),
+                "hbm_peak_gbps": 819.0}
                if flops else {}),
             "ta_energy_mae": round(mae_e, 6),
             "ta_force_mae": round(mae_f, 6),
@@ -252,6 +261,9 @@ def main():
                 "wbe_rows_per_sec": round(wbe["rows_per_sec"]),
                 "wbe_seconds": round(wbe["seconds"], 1),
                 "wbe_coeff_maxdiff": wbe["coeff_maxdiff"],
+                **({"wbe_step_gbps": round(wbe["step_gbps"], 1),
+                    "wbe_step_tflops_per_sec": round(wbe["step_tflops"], 3)}
+                   if wbe.get("step_gbps") else {}),
             })
         except Exception as e:  # noqa: BLE001 - bench must still report Ta
             log(f"WBe benchmark failed: {e!r}")
@@ -310,7 +322,11 @@ def main():
                 "wbe_nn_s_per_epoch_warm": round(wnn["s_per_epoch_warm"], 3),
                 "wbe_nn_us_per_atom_epoch": round(
                     wnn["us_per_atom_epoch"], 3),
-                "wbe_nn_peak_hbm_gib": round(wnn["peak_hbm_gib"], 2),
+                # null when the runtime exposes no memory_stats (remote
+                # relay) — never print an unmeasured number as a result
+                "wbe_nn_peak_hbm_gib": (
+                    round(wnn["peak_hbm_gib"], 2)
+                    if wnn["peak_hbm_gib"] is not None else None),
             })
         except Exception as e:  # noqa: BLE001 - bench must still report Ta
             log(f"WBe NN benchmark failed: {e!r}")

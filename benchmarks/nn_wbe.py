@@ -121,18 +121,23 @@ def run(limit=None, epochs=16, batch_size=16):
     warm = bt[1:] if len(bt) > 1 else bt
     warm_s_epoch = (sum(s for _, s in warm)
                     / max(sum(e for e, _ in warm), 1))
-    # peak HBM (TPU runtimes expose memory_stats; CPU returns None)
+    # peak HBM: TPU runtimes expose memory_stats, but the remote relay
+    # returns an empty dict — report None/"unavailable" rather than
+    # printing an unmeasured 0.00 as if it were a result
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        peak_gib = stats.get("peak_bytes_in_use", 0) / 2**30
+        peak_gib = (stats["peak_bytes_in_use"] / 2**30
+                    if "peak_bytes_in_use" in stats else None)
     except Exception:   # noqa: BLE001 - diagnostic only
-        peak_gib = 0.0
+        peak_gib = None
+    hbm_str = (f"{peak_gib:.2f} GiB" if peak_gib is not None
+               else "unavailable (relay exposes no memory_stats)")
     # reference anchor: 20 s/epoch over ~500k atoms = 40 us/(atom*epoch),
     # ~20 GB dgrad RAM (docs/source/Pytorch.rst:258-267)
     print(f"{epochs} epochs in {t_fit:.1f}s -> {s_epoch:.2f} s/epoch "
           f"amortized, {warm_s_epoch:.2f} s/epoch warm "
           f"({us_atom:.1f} us/atom-epoch; reference ~40); "
-          f"peak HBM {peak_gib:.2f} GiB (reference ~20 GB dgrad RAM); "
+          f"peak HBM {hbm_str} (reference ~20 GB dgrad RAM); "
           f"final train loss {fs.solver.history[-1][1]:.6f}; "
           f"TOTAL {total:.1f}s", flush=True)
     return {

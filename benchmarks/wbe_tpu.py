@@ -119,7 +119,14 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
         t0 = time.time()
         try:
             acc = cexe(acc, batch)
-        except Exception:   # AOT input-layout mismatch: fall back to jit
+        except (TypeError, ValueError) as e:
+            # AOT executables reject inputs whose layout/sharding differs
+            # from what they were lowered with; the jit path recompiles for
+            # the actual layout.  Loudly logged — a silent fallback would
+            # absorb real device errors into the timing as a mystery
+            # recompile (and genuine runtime faults now propagate).
+            print(f"  program {label}: AOT input mismatch ({e!r}); "
+                  "falling back to jit", flush=True)
             acc = step(acc, batch)
         jax.block_until_ready(acc)
         resident.append((batch, neighbors))
@@ -200,6 +207,24 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
         print(f"energy MAE {se/ne:.6f}  force MAE {sf/nf:.6f}  "
               f"(eval {time.time()-t0:.1f}s)", flush=True)
 
+    # roofline: XLA-estimated flops / bytes-accessed across all bucket
+    # programs over the measured device-compute wall (v5e HBM peak ~819
+    # GB/s; achieved GB/s is what "HBM-bound" claims answer to)
+    flops = bytes_acc = 0.0
+    try:
+        for f in futures:
+            ca = f.result().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops += float(ca.get("flops", 0.0))
+            bytes_acc += float(ca.get("bytes accessed", 0.0))
+        print(f"roofline: {flops / max(t_compute, 1e-9) / 1e12:.3f} TFLOP/s,"
+              f" {bytes_acc / max(t_compute, 1e-9) / 1e9:.1f} GB/s achieved"
+              " (v5e HBM peak ~819 GB/s)", flush=True)
+    except Exception as e:   # noqa: BLE001 - diagnostic only
+        print(f"cost_analysis unavailable: {e!r}", flush=True)
+        flops = bytes_acc = 0.0
+
     return {
         "rows": float(nrows_total),
         "seconds": float(total),
@@ -207,6 +232,10 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
         "compute_seconds": float(t_compute),
         "rows_per_sec": float(nrows_total / max(t_compute, 1e-9)),
         "coeff_maxdiff": dcoeff,
+        "step_gbps": (bytes_acc / max(t_compute, 1e-9) / 1e9
+                      if bytes_acc else None),
+        "step_tflops": (flops / max(t_compute, 1e-9) / 1e12
+                        if flops else None),
     }
 
 

@@ -186,9 +186,12 @@ class SnapCalculator:
         return prep
 
     def nn_desc_fn(self):
-        """Per-config per-atom descriptors only (PAS mode: fitting per-atom
-        scalars needs no force jacobian; reference calculator.py:103-108)."""
-        from fitsnap_tpu.ops.snap import atom_descriptors
+        """Per-config per-atom descriptors only (OTF/cached NN training and
+        PAS mode; reference calculator.py:103-108).  Uses the monomial-path
+        kernel (`atom_descriptors_fast`): forward and autodiff backward are
+        MXU-shaped, ~5x faster than the triangular recursion inside a
+        training step."""
+        from fitsnap_tpu.ops.snap import atom_descriptors_fast
 
         params = self.params
 
@@ -201,10 +204,45 @@ class SnapCalculator:
             r2 = jnp.sum(disp * disp, -1)
             smask = mask & (r2 < rcutij * rcutij)
             real = (jnp.arange(A) < natoms).astype(dtp)
-            B = atom_descriptors(disp, types[jidx], smask, types, params)
+            B = atom_descriptors_fast(disp, types[jidx], smask, types,
+                                      params)
             return B * real[:, None]
 
         return prep
+
+    def nn_analytic_fns(self):
+        """(parts_fn, grad_fn) for the cached analytic-force NN training
+        step, or None when this descriptor config isn't covered
+        (chem/quadratic fall back to the autodiff OTF path).
+
+        parts_fn(disp, jidx, mask, types, natoms) -> parts tuple (B first),
+        all constants w.r.t. network parameters; grad_fn(dEdB, parts) ->
+        dE/ddisp (A, K, 3).  See `ops/snap.py:snap_nn_parts`.
+        """
+        plan = self.params.plan
+        if plan.chemflag or plan.quadraticflag:
+            return None
+        from fitsnap_tpu.ops.snap import nn_pair_grad, snap_nn_parts
+
+        params = self.params
+
+        def parts_fn(disp, jidx, mask, types, natoms):
+            A = disp.shape[0]
+            dtp = disp.dtype
+            radelem = jnp.asarray(params.radelem, dtp)
+            rcutij = (radelem[types][:, None] + radelem[types[jidx]]) \
+                * params.rcutfac
+            r2 = jnp.sum(disp * disp, -1)
+            smask = mask & (r2 < rcutij * rcutij)
+            real = (jnp.arange(A) < natoms).astype(dtp)
+            B, dBdu, M, Mt, wp, wt = snap_nn_parts(
+                disp, types[jidx], smask, types, params)
+            return (B * real[:, None], dBdu, M, Mt, wp, wt)
+
+        def grad_fn(dEdB, parts):
+            return nn_pair_grad(dEdB, parts, params)
+
+        return parts_fn, grad_fn
 
     # ---------------- packing ----------------
 

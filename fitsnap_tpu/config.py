@@ -369,6 +369,10 @@ class GroupsSection:
         self.smartweights = r.get(self.name, "smartweights", "0", "bool")
         self.random_sampling = r.get(self.name, "random_sampling", "0", "bool")
         self.random_seed = r.get(self.name, "random_seed", "0", "float")
+        # explicit seed (even 0) must be honored by stochastic solvers;
+        # the "0" fallback alone can't distinguish set-to-zero from unset
+        self.random_seed_set = (r.has_section(self.name)
+                                and "random_seed" in r.keys(self.name))
         self.boltz = r.get(self.name, "BOLTZ", "0", "float")
         # VASP-scraper settings (reference vasp_scraper.py:29-33)
         self.vasp_use_TOTEN = r.get(self.name, "vasp_use_TOTEN", "0", "bool")
@@ -583,13 +587,23 @@ class NetworkSection:
         #                lists on device, recompute descriptors inside the
         #                training step, forces by autodiff (memory O(atoms),
         #                datasets far beyond HBM-resident dgrad)
-        #   auto       - otf when the dgrad tensor would exceed
-        #                FITSNAP_TPU_NN_G_LIMIT bytes (default 2 GiB)
+        #   cached     - neighbor tensors (disp/jidx/mask, ~55x smaller than
+        #                dgrad) cached device-resident once; the training
+        #                step recomputes descriptors from them with analytic
+        #                per-pair force contraction (fastest large datasets;
+        #                SNAP base descriptors)
+        #   auto       - precompute if dgrad fits FITSNAP_TPU_NN_G_LIMIT
+        #                (default 2 GiB), else cached if supported and the
+        #                neighbor tensors fit FITSNAP_TPU_NN_NEIGH_LIMIT
+        #                (default 4 GiB), else otf
         # ReduceLROnPlateau equivalent (reference solvers/pytorch.py:113-118
         # constructs one with mode=min, factor=0.5, patience=49,
-        # threshold=1e-4, threshold_mode=abs); keys below override those
-        # defaults, lr_plateau_flag=0 disables scheduling entirely
-        self.lr_plateau_flag = r.get(name, "lr_plateau_flag", "1", "bool")
+        # threshold=1e-4, threshold_mode=abs) — but upstream NEVER calls
+        # scheduler.step(), so its effective trajectory is constant-LR.
+        # Default OFF for trajectory parity with identical input files;
+        # lr_plateau_flag=1 opts into a scheduler that actually steps
+        # (the solver logs when it first reduces the LR).
+        self.lr_plateau_flag = r.get(name, "lr_plateau_flag", "0", "bool")
         self.lr_plateau_factor = r.get(
             name, "lr_plateau_factor", "0.5", "float")
         self.lr_plateau_patience = r.get(
@@ -598,9 +612,9 @@ class NetworkSection:
             name, "lr_plateau_threshold", "0.0001", "float")
         self.lr_min = r.get(name, "lr_min", "0.0", "float")
         self.dgrad_mode = r.get(name, "dgrad_mode", "auto").lower()
-        if self.dgrad_mode not in ("auto", "precompute", "otf"):
+        if self.dgrad_mode not in ("auto", "precompute", "otf", "cached"):
             raise ValueError(
-                f"[{name}] dgrad_mode must be auto/precompute/otf, "
+                f"[{name}] dgrad_mode must be auto/precompute/otf/cached, "
                 f"got {self.dgrad_mode!r}")
         # accepted-for-compatibility (reference pytorch.py:13-15, jax.py:23)
         r.get(name, "num_elements", "0", "int")

@@ -164,8 +164,11 @@ def build_torch_model(params, mean, std):
                 bt = bt - np.asarray(mean, np.float64) @ wt
             lin = torch.nn.Linear(wt.shape[0], wt.shape[1]).double()
             with torch.no_grad():
-                lin.weight.copy_(torch.from_numpy(wt.T))
-                lin.bias.copy_(torch.from_numpy(bt))
+                # explicit copies: np.asarray over a jax array yields a
+                # READ-ONLY view, and torch.from_numpy on one warns about
+                # undefined behavior on every export
+                lin.weight.copy_(torch.from_numpy(wt.T.copy()))
+                lin.bias.copy_(torch.from_numpy(bt.copy()))
             layers.append(lin)
             if i < nlayers - 1:
                 layers.append(torch.nn.Softplus())

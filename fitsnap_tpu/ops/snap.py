@@ -273,6 +273,224 @@ def compute_utot(disp, jelem, mask, ielem, p: SnapParams):
     return utr, uti
 
 
+def _ck_prologue(disp, jelem, mask, ielem, p: SnapParams):
+    """Per-pair Cayley-Klein parameters and switching weight.
+
+    Shared scalar prologue of every descriptor path: (ar, ai, br, bi, w),
+    each (A, K).  Masked pairs get the safe displacement (1, 0, 0) and
+    weight 0 (their gradients vanish through the `where`).
+    """
+    dtype = disp.dtype
+    radelem = jnp.asarray(p.radelem, dtype)
+    wjel = jnp.asarray(p.wj, dtype)
+    safe = jnp.where(mask[..., None], disp, jnp.array([1.0, 0.0, 0.0], dtype))
+    x, y, z = safe[..., 0], safe[..., 1], safe[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    rcutij = (radelem[ielem][:, None] + radelem[jelem]) * p.rcutfac
+    theta0 = (r - p.rmin0) * (p.rfac0 * jnp.pi) / (rcutij - p.rmin0)
+    z0 = r / jnp.tan(theta0)
+    r0inv = 1.0 / jnp.sqrt(r * r + z0 * z0)
+    ar, ai = r0inv * z0, -r0inv * z
+    br, bi = r0inv * y, -r0inv * x
+    sinnerij = dinnerij = None
+    if p.switchinnerflag:
+        sin_el = jnp.asarray(p.sinner, dtype)
+        din_el = jnp.asarray(p.dinner, dtype)
+        sinnerij = 0.5 * (sin_el[ielem][:, None] + sin_el[jelem])
+        dinnerij = 0.5 * (din_el[ielem][:, None] + din_el[jelem])
+    sfac = compute_sfac(r, rcutij, p.rmin0, p.switchflag,
+                        sinnerij, dinnerij, p.switchinnerflag)
+    w = jnp.where(mask, sfac * wjel[jelem], jnp.zeros_like(r))
+    return ar, ai, br, bi, w
+
+
+def compute_utot_mono(disp, jelem, mask, ielem, p: SnapParams):
+    """`compute_utot` via the monomial change of basis, neighbor-first.
+
+    ut[a] = (sum_k w[a,k] * M(ck[a,k])) @ L : the per-PAIR work is only the
+    O(n_mono) elementwise product chain; the change-of-basis GEMM runs per
+    ATOM (K-fold fewer flops than mapping each pair through L).  Forward
+    AND reverse-mode are MXU/VPU-shaped — unlike the triangular per-j
+    recursion, whose (A, K, j+1, j+1) intermediates have tiny trailing
+    dims that defeat TPU tiling (measured ~5x slower fwd+bwd).  This is
+    the training-step descriptor path of the NN solver; the recursion
+    (`compute_utot`) remains the independent cross-check oracle.
+    """
+    from fitsnap_tpu.ops.mono import mono_blocks, mono_plan
+
+    dtype = disp.dtype
+    plan = p.plan
+    ar, ai, br, bi, w = _ck_prologue(disp, jelem, mask, ielem, p)
+
+    exps, parent, varidx, L = mono_plan(plan.twojmax)
+    Lj = jnp.asarray(L, dtype)
+    vprim = (ar, ai, br, bi)
+    Mp = [jnp.ones_like(ar)]
+    for i in range(1, len(parent)):
+        Mp.append(Mp[int(parent[i])] * vprim[int(varidx[i])])
+    M = jnp.stack(Mp, -1)                             # (A, K, n_mono)
+
+    nchem = plan.nelements if plan.chemflag else 1
+    if nchem == 1:
+        wm = jnp.einsum("ak,akm->am", w, M)           # (A, n_mono)
+    else:
+        chan = jax.nn.one_hot(jelem, nchem, dtype=dtype) * w[..., None]
+        wm = jnp.einsum("akc,akm->acm", chan, M)      # (A, nchem, n_mono)
+
+    # L is degree-block-diagonal (mono_blocks): contract per block — ~5x
+    # fewer GEMM flops and no f32-parity concern here (the NN loss is not
+    # gated by normal-equation coefficient parity the way the linear path
+    # is; descriptor values agree with the recursion to roundoff)
+    blocks, u_len = mono_blocks(plan.twojmax)
+    reals, imags = [], []
+    for (r0, r1, c0, c1) in blocks:
+        sub = wm[..., r0:r1]
+        reals.append(sub @ Lj[r0:r1, c0:c1])
+        imags.append(sub @ Lj[r0:r1, u_len + c0:u_len + c1])
+    utr = jnp.concatenate(reals, -1)
+    uti = jnp.concatenate(imags, -1)
+    if nchem > 1:
+        utr = utr.reshape(utr.shape[0], -1)           # (A, nchem*U)
+        uti = uti.reshape(uti.shape[0], -1)
+
+    # self contribution (constant, real diagonal) — identical to
+    # `compute_utot`
+    self_idx = jnp.asarray(plan.self_idx)
+    selfvec = jnp.zeros((plan.u_len,), dtype).at[self_idx].set(p.wself)
+    if nchem == 1:
+        utr = utr + selfvec[None, :]
+    elif plan.wselfallflag:
+        utr = utr + jnp.tile(selfvec, nchem)[None, :]
+    else:
+        chan_one = jax.nn.one_hot(ielem, nchem, dtype=dtype)
+        utr = utr + (chan_one[:, :, None] * selfvec[None, None, :]
+                     ).reshape(utr.shape[0], -1)
+    return utr, uti
+
+
+def atom_descriptors_fast(disp, jelem, mask, ielem, p: SnapParams):
+    """`atom_descriptors` on the monomial path (training-step kernel)."""
+    utr, uti = compute_utot_mono(disp, jelem, mask, ielem, p)
+    B = bispectrum_from_utot(utr, uti, p.plan)
+    return _quad_extend(B, p.plan)
+
+
+def _blocked_L(plan, dtype):
+    from fitsnap_tpu.ops.mono import mono_blocks, mono_plan
+    exps, parent, varidx, L = mono_plan(plan.twojmax)
+    blocks, u_len = mono_blocks(plan.twojmax)
+    return parent, varidx, jnp.asarray(L, dtype), blocks, u_len
+
+
+def _blocked_mm(wm, Lj, blocks, u_len):
+    """wm (..., n_mono) @ L -> (..., 2U), per degree block (L is ~98% zero
+    outside the blocks; contracting per block cuts the flops ~5x)."""
+    reals, imags = [], []
+    for (r0, r1, c0, c1) in blocks:
+        sub = wm[..., r0:r1]
+        reals.append(sub @ Lj[r0:r1, c0:c1])
+        imags.append(sub @ Lj[r0:r1, u_len + c0:u_len + c1])
+    return jnp.concatenate(reals + imags, axis=-1)
+
+
+def _blocked_mm_T(du, Lj, blocks, u_len):
+    """du (..., 2U) @ L^T -> (..., n_mono), per degree block."""
+    parts = []
+    for (r0, r1, c0, c1) in blocks:
+        parts.append(du[..., c0:c1] @ Lj[r0:r1, c0:c1].T
+                     + du[..., u_len + c0:u_len + c1]
+                     @ Lj[r0:r1, u_len + c0:u_len + c1].T)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def snap_nn_parts(disp, jelem, mask, ielem, p: SnapParams):
+    """Descriptor-side quantities of one NN training step (analytic-force
+    path, single chem channel, base descriptors).
+
+    Returns (B, dBdu, M, Mt, wp, wt):
+      B    (A, W)           descriptors (bzero-subtracted)
+      dBdu (A, W, 2U)       analytic jacobian wrt utot (the dbidrj identity)
+      M    (A, K, n_mono)   per-pair monomial values
+      Mt   (3, A, K, n_mono) their displacement tangents (fused dual chains)
+      wp   (A, K)           switching weights;  wt (3, A, K) their tangents
+
+    All outputs are CONSTANT w.r.t. network parameters, so the training
+    loss autodiffs only through the MLP: the per-pair force gradient is the
+    closed-form contraction `nn_pair_grad`, and grad-of-loss w.r.t. params
+    transposes a few einsums instead of re-deriving the descriptor chain
+    (reverse-over-reverse through the kernel was measured unusable: minutes
+    of XLA compile per bucket and ~10x the flops).
+
+    This replaces what the reference does with stored dgrad rows
+    (`lib/neural_networks/pytorch.py:147-219`) without ever materializing
+    them: per-pair work is the O(n_mono) monomial chain; every GEMM runs
+    per atom.
+    """
+    plan = p.plan
+    assert not plan.chemflag and not plan.quadraticflag, \
+        "analytic NN path covers the base single-channel case"
+    dtype = disp.dtype
+
+    def scal(d):
+        return _ck_prologue(d, jelem, mask, ielem, p)
+
+    eye = jnp.eye(3, dtype=dtype)
+    tg = jnp.broadcast_to(eye[:, None, None, :], (3,) + disp.shape)
+    prim = scal(disp)
+    tans = jax.vmap(lambda t: jax.jvp(scal, (disp,), (t,))[1])(tg)
+    wp, wt = prim[4], tans[4]
+
+    parent, varidx, Lj, blocks, u_len = _blocked_L(plan, dtype)
+    vprim = prim[:4]
+    vtan = tans[:4]
+    Mp = [jnp.ones_like(vprim[0])]
+    Mt = [jnp.zeros_like(vtan[0])]
+    for i in range(1, len(parent)):
+        pa, vi = int(parent[i]), int(varidx[i])
+        Mp.append(Mp[pa] * vprim[vi])
+        Mt.append(Mt[pa] * vprim[vi][None] + Mp[pa][None] * vtan[vi])
+    M = jnp.stack(Mp, -1)                        # (A, K, n_mono)
+    Mt = jnp.stack(Mt, -1)                       # (3, A, K, n_mono)
+
+    # neighbor-first contraction: the change-of-basis GEMM runs per ATOM
+    wm = jnp.einsum("ak,akm->am", wp, M)
+    ut = _blocked_mm(wm, Lj, blocks, u_len)      # (A, 2U)
+    self_idx = jnp.asarray(plan.self_idx)
+    selfvec = jnp.zeros((plan.u_len,), dtype).at[self_idx].set(p.wself)
+    ut = ut + jnp.concatenate([selfvec, jnp.zeros_like(selfvec)])[None, :]
+
+    zcat = _compute_zcat(ut, plan)
+    dBdu = _dbdu_ylist(ut, plan, zcat)           # (A, W, 2U)
+    z_r, z_i = zcat
+    src0 = jnp.asarray(plan.y_src[0])
+    fac0 = jnp.asarray(plan.y_fac[0], dtype)
+    U = plan.u_len
+    B = (jnp.einsum("au,atu->at", ut[:, :U], fac0 * z_r[:, src0])
+         + jnp.einsum("au,atu->at", ut[:, U:], fac0 * z_i[:, src0]))
+    if plan.bzeroflag:
+        B = B - jnp.asarray(plan.bzero, dtype)[None, :]
+    return B, dBdu, M, Mt, wp, wt
+
+
+def nn_pair_grad(dEdB, parts, p: SnapParams):
+    """dE/ddisp (A, K, 3) from dE/dB and `snap_nn_parts` outputs.
+
+    dE/ddisp = dEdB . dBdu . J with J = wp*(Mt @ L) + wt*(M @ L) contracted
+    in the cheap order: v = (dEdB . dBdu) @ L^T is per-ATOM, then per pair
+    only two O(n_mono) dots remain — the (A*K, n_mono) x (n_mono, 2U) GEMM
+    of the dgrad formulation never happens in either direction.
+    """
+    plan = p.plan
+    _, dBdu, M, Mt, wp, wt = parts
+    parent, varidx, Lj, blocks, u_len = _blocked_L(plan, dEdB.dtype)
+    dEdu = jnp.einsum("aw,awu->au", dEdB, dBdu)      # (A, 2U)
+    v = _blocked_mm_T(dEdu, Lj, blocks, u_len)       # (A, n_mono)
+    sp = jnp.einsum("akm,am->ak", M, v)
+    st = jnp.einsum("cakm,am->cak", Mt, v)
+    g = wp[None] * st + wt * sp[None]                # (3, A, K)
+    return g.transpose(1, 2, 0)
+
+
 def bispectrum_from_utot(utr, uti, plan: SnapPlan):
     """Trilinear CG contraction: utot -> per-atom bispectrum B (A, nb_base).
 

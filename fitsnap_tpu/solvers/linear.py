@@ -21,12 +21,14 @@ def _solver_rng(config):
     (`fitsnap3lib/parallel_tools.py:239`); here the GROUPS `random_seed`
     (when set) plays that role so UQ artifacts are reproducible run-to-run.
     """
-    seed = 0
+    seed = None
     groups = getattr(config, "sections", {}).get("GROUPS") \
         if config is not None else None
-    if groups is not None:
+    if groups is not None and getattr(groups, "random_seed_set",
+                                      groups.random_seed != 0):
         seed = int(groups.random_seed)
-    return np.random.default_rng(seed or 13)
+    # None = unset (default 13); an explicit random_seed = 0 is a real seed
+    return np.random.default_rng(13 if seed is None else seed)
 
 
 def _weighted_training(a, b, w, fs_dict, trainall=False):

@@ -40,8 +40,9 @@ def _plateau_step(sched, metric, *, factor, patience, threshold, lr_min,
     The reference constructs exactly this scheduler
     (`fitsnap3lib/solvers/pytorch.py:113-118`) with factor=0.5, patience=49,
     threshold=1e-4 — but never calls `scheduler.step()`, so upstream it is
-    inert.  Here it actually runs (lr_plateau_flag=1 by default), stepped on
-    the per-epoch validation loss inside the jitted epoch scan.
+    inert.  Here lr_plateau_flag=1 opts into a scheduler that actually runs,
+    stepped on the per-epoch validation loss inside the jitted epoch scan
+    (default 0 keeps the reference's effective constant-LR trajectory).
 
     sched = (lr, best_metric, bad_epochs); pure and jittable so it can live
     in the lax.scan carry.
@@ -94,6 +95,8 @@ class NetworkSolver(Solver):
         self.final_lr = None
         self._fwd_jit = None
         self.otf = False        # on-the-fly dgrad (see NetworkSection)
+        self.cached = False     # cached-neighbor analytic-force mode
+        self._nn_analytic = None
         self._desc_fwd = None
         self._otf_cutoff = None
 
@@ -115,7 +118,7 @@ class NetworkSolver(Solver):
         # limit we recompute descriptors inside the training step and take
         # forces by autodiff instead (FLOPs are cheap, HBM is not)
         mode = getattr(self.net, "dgrad_mode", "auto")
-        if mode in ("auto", "otf"):
+        if mode in ("auto", "otf", "cached"):
             import os
             from fitsnap_tpu.parallel.fit import plan_pos_buckets
             packed = [calculator._pack(d) for d in data]
@@ -128,16 +131,46 @@ class NetworkSolver(Solver):
                 packed, calculator.cutoff,
                 max_programs=int(os.environ.get(
                     "FITSNAP_TPU_NN_MAX_PROGRAMS", "10")))
+            analytic = getattr(calculator, "nn_analytic_fns",
+                               lambda: None)()
             if mode == "auto":
-                import os
                 limit = int(os.environ.get("FITSNAP_TPU_NN_G_LIMIT",
                                            str(2 << 30)))
                 width = calculator.get_width()
                 g_bytes = sum(len(g["configs"]) * g["a_pad"] * g["k_pad"]
                               * width * 3 * np.dtype(dtype).itemsize
                               for g in pos_groups)
-                mode = "otf" if g_bytes > limit else "precompute"
+                if g_bytes <= limit:
+                    mode = "precompute"
+                else:
+                    # neighbor tensors (disp + jidx + mask) are ~55x
+                    # smaller than dgrad; cache them device-side when they
+                    # fit and recompute descriptors per step with analytic
+                    # forces — the per-step on-device neighbor REBUILD of
+                    # pure otf is recompute of a static quantity (positions
+                    # never move during NN training)
+                    itemsz = np.dtype(dtype).itemsize
+                    neigh_bytes = sum(
+                        len(g["configs"]) * g["a_pad"]
+                        * min(g["k_pad"], g["a_pad"] * len(g["s_table"]))
+                        * (3 * itemsz + 5) for g in pos_groups)
+                    neigh_limit = int(os.environ.get(
+                        "FITSNAP_TPU_NN_NEIGH_LIMIT", str(4 << 30)))
+                    mode = ("cached" if analytic is not None
+                            and neigh_bytes <= neigh_limit else "otf")
+            if mode == "cached" and analytic is None:
+                from fitsnap_tpu.io.screen import warn
+                warn("dgrad_mode=cached is not available for this "
+                     "descriptor config (chem/quadratic/non-SNAP); "
+                     "falling back to otf")
+                mode = "otf"
         self.otf = mode == "otf"
+        self.cached = mode == "cached"
+        if self.cached:
+            self._nn_analytic = analytic
+            self._desc_fwd = calculator.nn_desc_fn()
+            return self._prepare_otf(calculator, pos_groups, dtype,
+                                     cache=True)
         if self.otf:
             self._desc_fwd = calculator.nn_desc_fn()
             return self._prepare_otf(calculator, pos_groups, dtype)
@@ -255,7 +288,7 @@ class NetworkSolver(Solver):
         self.std = jnp.asarray(np.asarray(std, dtype))
         return self.buckets
 
-    def _prepare_otf(self, calculator, pos_groups, dtype):
+    def _prepare_otf(self, calculator, pos_groups, dtype, cache=False):
         """On-the-fly dgrad mode: keep POSITIONS device-resident (hi/lo
         float pairs + per-config image-shift vectors), build neighbor lists
         on device and recompute descriptors inside every training step;
@@ -266,7 +299,15 @@ class NetworkSolver(Solver):
         host->device upload is ~50x smaller than shipping neighbor tensors
         (the decisive factor through a remote TPU relay).  One forward pass
         here computes standardization stats and reference-subtracted
-        targets."""
+        targets.
+
+        With `cache=True` (dgrad_mode=cached) the stats pass additionally
+        KEEPS the per-config (disp, jidx, mask) it builds, device-resident
+        per bucket (~55x smaller than dgrad): positions never move during
+        NN training, so the per-step neighbor rebuild of pure otf is
+        recompute of a static quantity.  The training step then recomputes
+        descriptors from the cached displacements with the analytic force
+        contraction (`_forward_batch_cached`)."""
         from fitsnap_tpu.ops.refpot import reference_eav
         from fitsnap_tpu.parallel.fit import device_neighbors, pack_batch_pos
 
@@ -286,13 +327,13 @@ class NetworkSolver(Solver):
                                            cutoff, k_pad)
                 B = desc(d, j, m, t, na)
                 re_, rf_, _ = reference_eav(d, j, m, t, na, refspec)
-                return B, re_, rf_
+                return B, re_, rf_, d, j, m
 
             def stats_bucket(ph, pl, sh, sl, tt, nad, e_td, f_td, plan,
                              val):
                 def body(_, ch):
                     idx, v = ch
-                    B, re_, rf_ = jax.vmap(one_cfg)(
+                    B, re_, rf_, d, j, m = jax.vmap(one_cfg)(
                         ph[idx], pl[idx], sh[idx], sl[idx], tt[idx],
                         nad[idx])
                     na = nad[idx]
@@ -301,16 +342,24 @@ class NetworkSolver(Solver):
                     Bm = B * w[..., None]
                     e_tgt = (e_td[idx] - re_) / jnp.maximum(na, 1)
                     f_tgt = f_td[idx] - rf_
+                    neigh = (d, j, m) if cache else ()
                     return None, (e_tgt.astype(B.dtype),
                                   f_tgt.astype(B.dtype),
                                   Bm.sum((0, 1)), (Bm * B * w[..., None])
-                                  .sum((0, 1)), w.sum())
+                                  .sum((0, 1)), w.sum()) + neigh
 
-                _, (e_tgt, f_tgt, sb, ssq, cnt) = jax.lax.scan(
-                    body, None, (plan, val))
-                return (e_tgt.reshape(n_pad)[:n],
-                        f_tgt.reshape(n_pad, ph.shape[1], 3)[:n],
-                        sb.sum(0), ssq.sum(0), cnt.sum())
+                _, out = jax.lax.scan(body, None, (plan, val))
+                e_tgt, f_tgt, sb, ssq, cnt = out[:5]
+                A = ph.shape[1]
+                res = (e_tgt.reshape(n_pad)[:n],
+                       f_tgt.reshape(n_pad, A, 3)[:n],
+                       sb.sum(0), ssq.sum(0), cnt.sum())
+                if cache:
+                    d, j, m = out[5:]
+                    res = res + (d.reshape(n_pad, A, k_pad, 3)[:n],
+                                 j.reshape(n_pad, A, k_pad)[:n],
+                                 m.reshape(n_pad, A, k_pad)[:n])
+                return res
 
             return jax.jit(stats_bucket)
 
@@ -369,7 +418,8 @@ class NetworkSolver(Solver):
             test, groups, files = m["test"], m["groups"], m["files"]
             ew, fw = m["ew"], m["fw"]
             ph, pl, sh, sl, tt = m["ph"], m["pl"], m["sh"], m["sl"], m["tt"]
-            e_target, f_target, sb, ssq, cnt = fn(*args)
+            out = fn(*args)
+            e_target, f_target, sb, ssq, cnt = out[:5]
 
             real = (np.arange(a_pad)[None, :] < nat[:, None])
             sb = np.asarray(sb, np.float64)
@@ -378,11 +428,20 @@ class NetworkSolver(Solver):
             sumsq_b = ssq if sumsq_b is None else sumsq_b + ssq
             count += int(cnt)
 
-            self.buckets.append({
-                "pos_hi": ph, "pos_lo": pl, "svec_hi": sh, "svec_lo": sl,
-                # zero-byte shape carrier: k_pad is static per bucket but
-                # must survive the uniform {k: v[idx]} minibatch gather
-                "kshape": np.zeros((n, 0, k_pad), np.int8),
+            if cache:
+                # positions are no longer needed: the cached (disp, jidx,
+                # mask) tensors ARE the training inputs
+                d_dev, j_dev, m_dev = out[5:]
+                bucket = {"disp": d_dev, "jidx": j_dev, "mask": m_dev}
+            else:
+                bucket = {
+                    "pos_hi": ph, "pos_lo": pl,
+                    "svec_hi": sh, "svec_lo": sl,
+                    # zero-byte shape carrier: k_pad is static per bucket
+                    # but must survive the uniform {k: v[idx]} gather
+                    "kshape": np.zeros((n, 0, k_pad), np.int8),
+                }
+            bucket.update({
                 "types": tt,
                 "elem": types,           # network element index; may be
                 "nat": nat,              # zeroed for multi_element_option 1
@@ -394,6 +453,7 @@ class NetworkSolver(Solver):
                 "nat_host": nat,
                 "shape": (a_pad, k_pad), "dtype": dtype,
             })
+            self.buckets.append(bucket)
 
         mean = sum_b / count
         var = sumsq_b / count - mean ** 2
@@ -687,11 +747,51 @@ class NetworkSolver(Solver):
                              real)
         return e / nat, f
 
+    def _forward_batch_cached(self, params, batch):
+        """Cached-neighbor mode: descriptors recomputed from the resident
+        (disp, jidx, mask) tensors, forces via the ANALYTIC per-pair
+        contraction (`ops/snap.py:nn_pair_grad`) — autodiff touches only
+        the MLP, so the loss's parameter gradient transposes a few einsums
+        instead of re-deriving the descriptor kernel (reverse-over-reverse
+        through it was measured unusable: minutes of XLA compile per bucket
+        shape and ~10x the flops)."""
+        parts_fn, grad_fn = self._nn_analytic
+        mean, std = self.mean, self.std
+        disp = batch["disp"]
+        dtp = disp.dtype
+        nat = jnp.maximum(batch["nat"], 1).astype(dtp)
+        real = batch["real"].astype(dtp)
+
+        def one(d, j, m, t, na, elem_c, real_c):
+            parts = parts_fn(d, j, m, t, na)
+            x = (parts[0] - mean) / std
+
+            def etot(xx):
+                return jnp.sum(atom_energies(params, xx, elem_c) * real_c)
+
+            e, dEdx = jax.value_and_grad(etot)(x)
+            g = grad_fn(dEdx / std, parts)
+            return e, g
+
+        e, g = jax.vmap(one)(disp, batch["jidx"], batch["mask"],
+                             batch["types"], batch["nat"], batch["elem"],
+                             real)
+        # scatter dE/ddisp into forces: disp[a,k] = x_j - x_i (+shift), so
+        # atom m collects +g from every pair it neighbors and -sum(g) over
+        # its own row (same identity as the precomputed-G path)
+        A = disp.shape[1]
+        oj = jax.nn.one_hot(batch["jidx"], A, dtype=dtp)
+        scat = jnp.einsum("nakm,nakc->nmc", oj, g)
+        forces = -(scat - g.sum(axis=2))
+        return e / nat, forces
+
     _BATCH_KEYS = ("B", "G", "types", "real", "nat", "jidx",
                    "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_OTF = ("pos_hi", "pos_lo", "svec_hi", "svec_lo", "kshape",
                        "types", "elem", "real", "nat", "e_target",
                        "f_target", "ew", "fw")
+    _BATCH_KEYS_CACHED = ("disp", "jidx", "mask", "types", "elem", "real",
+                          "nat", "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_PW = ("disp", "mask", "types", "real", "nat", "jidx",
                       "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_PAS = ("B", "types", "real", "nat", "pas_target", "ew")
@@ -719,6 +819,7 @@ class NetworkSolver(Solver):
             na = jnp.maximum(ps(real.sum()), 1.0)
             return ps(jnp.sum(batch["ew"][:, None] * res ** 2)) / na
         fwd = (self._forward_pairwise if self.pairwise
+               else self._forward_batch_cached if self.cached
                else self._forward_batch_otf if self.otf
                else self._forward_batch)
         e_pred, f_pred = fwd(params, batch)
@@ -852,8 +953,8 @@ class NetworkSolver(Solver):
         # constructs torch ReduceLROnPlateau(mode=min, factor=0.5,
         # patience=49, threshold=1e-4, threshold_mode=abs) at
         # solvers/pytorch.py:113-118 but never calls scheduler.step() —
-        # upstream the scheduler is inert; here lr_plateau_flag=1 (default)
-        # actually steps it on the per-epoch validation loss.
+        # upstream the scheduler is inert; lr_plateau_flag=1 (opt-in)
+        # actually steps it here on the per-epoch validation loss.
         opt = optax.scale_by_adam()
         opt_state = opt.init(self.params)
         sched_on = bool(getattr(net, "lr_plateau_flag", False))
@@ -937,6 +1038,16 @@ class NetworkSolver(Solver):
                 S = int(ds["svec_hi"].shape[1])
                 cap = max(1, (1 << 25) // (a_pad * S * a_pad))
                 bsz = min(bsz, max(cap, ndev))
+            if self.cached and ds is not None:
+                # transient per-pair monomial tensors (M + 3 tangent
+                # chains, n_mono floats each) bound the minibatch: cap
+                # PAIRS per step (FITSNAP_TPU_NN_PAIRS; 390k pairs at
+                # n_mono=495 is ~3 GB of transients, measured-safe on v5e)
+                a_pad = int(ds["real"].shape[1])
+                k_pad = int(ds["jidx"].shape[-1])
+                cap = max(1, int(os.environ.get(
+                    "FITSNAP_TPU_NN_PAIRS", "390000")) // (a_pad * k_pad))
+                bsz = min(bsz, max(cap, ndev))
             if ndev > 1:
                 bsz = ndev * max(1, bsz // ndev)
             return bsz
@@ -981,6 +1092,7 @@ class NetworkSolver(Solver):
 
         batch_keys = (self._BATCH_KEYS_PAS if self.pas
                       else self._BATCH_KEYS_PW if self.pairwise
+                      else self._BATCH_KEYS_CACHED if self.cached
                       else self._BATCH_KEYS_OTF if self.otf
                       else self._BATCH_KEYS)
         # device-resident dataset passed as explicit jit args (closures
@@ -1060,7 +1172,18 @@ class NetworkSolver(Solver):
         # scheduler).  The fused multi-epoch block path below stays the
         # fast path for the common few-bucket case.
         FUSED = int(os.environ.get("FITSNAP_TPU_NN_FUSED_BUCKETS", "4"))
-        if len(tkeys) > FUSED and ndev == 1:
+        if len(tkeys) > FUSED:
+            if ndev > 1:
+                # the chunked anti-fault path is single-device; letting the
+                # fused program through would fault the device at this
+                # bucket count (measured at 8 OTF bodies on v5e)
+                raise ValueError(
+                    f"data-parallel NN training with {len(tkeys)} shape "
+                    f"buckets exceeds the per-program bucket bound "
+                    f"({FUSED}): the fused multi-bucket XLA program faults "
+                    "the TPU at this size.  Run with --devices 1, raise "
+                    "FITSNAP_TPU_NN_FUSED_BUCKETS at your own risk, or "
+                    "reduce the bucket count (FITSNAP_TPU_NN_MAX_PROGRAMS)")
             return self._fit_chunked(
                 opt, opt_state, loss_fn, net, E, FUSED, fdt, sched_on,
                 tkeys, train_perms, vkeys, vplans_t, dev_buckets, nelem_net)
@@ -1110,6 +1233,7 @@ class NetworkSolver(Solver):
             e0 += eb
         _, _, _, best_params, best_opt, sched_f = carry
         self.final_lr = float(sched_f[0])
+        self._log_lr_reductions(net)
         # one device->host transfer per curve, not one per block
         tls = np.asarray(jnp.concatenate(tls_l)) if tls_l else np.zeros(0)
         vls = np.asarray(jnp.concatenate(vls_l)) if vls_l else np.zeros(0)
@@ -1119,6 +1243,20 @@ class NetworkSolver(Solver):
         self.params = best_params
         self.fit = None  # nonlinear: no coefficient vector
         return self._finalize_fit(best_opt, net, nelem_net)
+
+    def _log_lr_reductions(self, net):
+        """Make scheduler action visible in run output: the reference's
+        effective trajectory is constant-LR (it never steps its scheduler),
+        so any reduction here is a deliberate divergence the user opted
+        into with lr_plateau_flag=1."""
+        if self.lr_history.size and self.final_lr is not None \
+                and self.final_lr < float(net.learning_rate) * (1 - 1e-12):
+            from fitsnap_tpu.io.screen import info
+            first = int(np.argmax(
+                self.lr_history < float(net.learning_rate) * (1 - 1e-12)))
+            info(f"ReduceLROnPlateau: lr {float(net.learning_rate):g} -> "
+                 f"{self.final_lr:g} (first reduction at epoch {first}; "
+                 "the reference never steps its scheduler)")
 
     def _finalize_fit(self, best_opt, net, nelem_net):
         with open("loss_vs_epochs.dat", "w") as f:
@@ -1258,6 +1396,7 @@ class NetworkSolver(Solver):
 
         self.final_lr = float(sched[0])
         self.lr_history = lrs
+        self._log_lr_reductions(net)
         self.history = [(e, float(tls[e]), float(vls[e])) for e in range(E)]
         self.params = best_params
         self.fit = None
@@ -1273,10 +1412,12 @@ class NetworkSolver(Solver):
         # B/G each cost a compile/program-load through the remote relay)
         fwd = (self._forward_pas if self.pas
                else self._forward_pairwise if self.pairwise
+               else self._forward_batch_cached if self.cached
                else self._forward_batch_otf if self.otf
                else self._forward_batch)
         keys = (self._BATCH_KEYS_PAS if self.pas
                 else self._BATCH_KEYS_PW if self.pairwise
+                else self._BATCH_KEYS_CACHED if self.cached
                 else self._BATCH_KEYS_OTF if self.otf
                 else self._BATCH_KEYS)
         C = -(-n // chunk)

@@ -328,10 +328,23 @@ def test_nn_otf_matches_precompute(tmp_path, monkeypatch):
     np.testing.assert_allclose(e_otf, e_pre, rtol=1e-7, atol=1e-10)
     np.testing.assert_allclose(f_otf, f_pre, rtol=1e-6, atol=1e-8)
 
+    # dgrad_mode=cached: descriptors recomputed from cached neighbor
+    # tensors with the ANALYTIC per-pair force contraction — a third
+    # contraction order of the same math; same f64 agreement bar
+    s_c, h_c, e_c, f_c = run("cached")
+    assert s_c.cached and not s_c.otf
+    assert "disp" in s_c.buckets[0] and "G" not in s_c.buckets[0]
+    np.testing.assert_allclose(np.asarray(s_c.mean), np.asarray(s_pre.mean),
+                               rtol=1e-10)
+    np.testing.assert_allclose(h_c, h_pre, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(e_c, e_pre, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(f_c, f_pre, rtol=1e-6, atol=1e-8)
+
 
 def test_nn_dgrad_mode_auto_flips_on_size(monkeypatch):
-    """auto mode picks otf exactly when the would-be dgrad tensor exceeds
-    FITSNAP_TPU_NN_G_LIMIT."""
+    """auto picks cached when the would-be dgrad tensor exceeds
+    FITSNAP_TPU_NN_G_LIMIT (neighbor tensors still fit), and otf when the
+    neighbor cache budget is also exceeded."""
     from fitsnap_tpu.fitsnap import FitSnap
 
     fs = FitSnap(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" / "Ta-example.in"),
@@ -340,7 +353,13 @@ def test_nn_dgrad_mode_auto_flips_on_size(monkeypatch):
     data = [d for d in fs.data if d["Group"] == "Displaced_BCC"][:2]
     monkeypatch.setenv("FITSNAP_TPU_NN_G_LIMIT", "1")
     fs.solver.prepare_dataset(fs.calculator, data)
-    assert fs.solver.otf
+    assert fs.solver.cached and not fs.solver.otf
+
+    fs2 = FitSnap(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" /
+                      "Ta-example.in"), arglist=["--overwrite"])
+    monkeypatch.setenv("FITSNAP_TPU_NN_NEIGH_LIMIT", "1")
+    fs2.solver.prepare_dataset(fs2.calculator, data)
+    assert fs2.solver.otf and not fs2.solver.cached
 
 
 def test_plateau_step_matches_torch_scheduler():
