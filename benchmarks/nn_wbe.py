@@ -1,4 +1,4 @@
-"""Full-dataset WBe NN training on one TPU chip (dgrad_mode=otf).
+"""Full-dataset WBe NN training on one TPU chip (dgrad_mode=cached).
 
 The reference's published NN scaling anchor: ~10,000 configs x ~50 atoms
 (~500k atoms) trains at ~20 s/epoch with ~20 GB of dgrad RAM, and "NN
@@ -6,9 +6,10 @@ training is single-process" (docs/source/Pytorch.rst:258-267).  The full
 WBe_PRB2019 dataset here is 25,422 configs / ~530k atoms — the same total
 atom count — at twojmax=8 (55 descriptors, per-element subnetworks).  The
 dgrad tensor the reference materializes would be ~36 GB at this padding;
-with dgrad_mode=otf it never exists: positions live on device, neighbor
-lists + descriptors are recomputed inside the jitted training step, and
-forces come from autodiff.
+with dgrad_mode=cached it never exists: neighbor tensors and per-atom
+(ut, B) stay device-resident (~1.4 GiB), the training step recomputes only
+the per-pair grid tensors, and forces come from the analytic contraction
+(ops/snap.py nn_pair_force).
 
 Run: python benchmarks/nn_wbe.py [max_configs] [--epochs N] [--batch N]
 """
@@ -46,7 +47,10 @@ def settings(epochs, batch_size):
             "manual_seed_flag": 1,
             "save_state_output": "None",
             "output_file": "None",
-            "dgrad_mode": "otf",
+            # cached: neighbor tensors + per-atom (ut, B) device-resident,
+            # analytic per-pair force contraction (~1.4 GiB cache here vs
+            # the ~36 GiB dgrad tensor the precompute path would need)
+            "dgrad_mode": "cached",
         },
         "SOLVER": {"solver": "PYTORCH"},
         "SCRAPER": {"scraper": "JSON"},
@@ -102,7 +106,7 @@ def run(limit=None, epochs=16, batch_size=16):
     t0 = time.time()
     fs.solver.prepare_dataset(fs.calculator, data)
     t_prep = time.time() - t0
-    assert fs.solver.otf, "expected the OTF path"
+    assert fs.solver.cached, "expected the cached analytic path"
     width = fs.calculator.get_width()
     g_bytes = sum(int(np.prod(ds["shape"])) * len(ds["nat"]) * width * 3 * 4
                   for ds in fs.solver.buckets)

@@ -211,38 +211,49 @@ class SnapCalculator:
         return prep
 
     def nn_analytic_fns(self):
-        """(parts_fn, grad_fn) for the cached analytic-force NN training
-        step, or None when this descriptor config isn't covered
-        (chem/quadratic fall back to the autodiff OTF path).
+        """Closure kit for the cached analytic-force NN training step, or
+        None when this descriptor config isn't covered (chem/quadratic
+        fall back to the autodiff OTF path).
 
-        parts_fn(disp, jidx, mask, types, natoms) -> parts tuple (B first),
-        all constants w.r.t. network parameters; grad_fn(dEdB, parts) ->
-        dE/ddisp (A, K, 3).  See `ops/snap.py:snap_nn_parts`.
+        Keys (see `ops/snap.py` nn_* for the math):
+          utb(disp, jidx, mask, types, natoms) -> (ut (A,2U), B (A,W)):
+              the cacheable per-atom state (computed once per dataset)
+          dEdu_vg(dEdB, ut) -> vg: per-ATOM cotangent onto the pair grid
+              (flattened atom axis across the minibatch)
+          pair(disp, jidx, mask, types) -> per-config pair-grid tensors
+          force(vg, grid) -> dE/ddisp (A, K, 3) of one config
         """
         plan = self.params.plan
         if plan.chemflag or plan.quadraticflag:
             return None
-        from fitsnap_tpu.ops.snap import nn_pair_grad, snap_nn_parts
+        from fitsnap_tpu.ops.snap import (nn_dEdu, nn_grid_pair,
+                                          nn_pair_force, nn_ut_b, nn_vg)
 
         params = self.params
 
-        def parts_fn(disp, jidx, mask, types, natoms):
-            A = disp.shape[0]
-            dtp = disp.dtype
-            radelem = jnp.asarray(params.radelem, dtp)
+        def _smask(disp, jidx, mask, types):
+            radelem = jnp.asarray(params.radelem, disp.dtype)
             rcutij = (radelem[types][:, None] + radelem[types[jidx]]) \
                 * params.rcutfac
             r2 = jnp.sum(disp * disp, -1)
-            smask = mask & (r2 < rcutij * rcutij)
-            real = (jnp.arange(A) < natoms).astype(dtp)
-            B, dBdu, M, Mt, wp, wt = snap_nn_parts(
-                disp, types[jidx], smask, types, params)
-            return (B * real[:, None], dBdu, M, Mt, wp, wt)
+            return mask & (r2 < rcutij * rcutij)
 
-        def grad_fn(dEdB, parts):
-            return nn_pair_grad(dEdB, parts, params)
+        def utb_fn(disp, jidx, mask, types, natoms):
+            A = disp.shape[0]
+            real = (jnp.arange(A) < natoms).astype(disp.dtype)
+            sm = _smask(disp, jidx, mask, types)
+            ut, B = nn_ut_b(disp, types[jidx], sm, types, params)
+            return ut, B * real[:, None]
 
-        return parts_fn, grad_fn
+        def dEdu_vg_fn(dEdB, ut):
+            return nn_vg(nn_dEdu(dEdB, ut, params), params)
+
+        def pair_fn(disp, jidx, mask, types):
+            sm = _smask(disp, jidx, mask, types)
+            return nn_grid_pair(disp, types[jidx], sm, types, params)
+
+        return {"utb": utb_fn, "dEdu_vg": dEdu_vg_fn, "pair": pair_fn,
+                "force": nn_pair_force}
 
     # ---------------- packing ----------------
 

@@ -176,6 +176,38 @@ def mono_plan(twojmax: int):
 
 
 @lru_cache(maxsize=None)
+def grid_plan(twojmax: int):
+    """Pair-grid factorization of the monomial basis.
+
+    Every monomial ar^p ai^q br^r bi^s factors as T1[(p,q)] * T2[(r,s)]
+    with T1/T2 indexed by the n_t = (tj+1)(tj+2)/2 exponent pairs of
+    degree <= twojmax.  Returns (pidx, qidx, Lg):
+      pidx, qidx: (n_t,) int — T-entry (p, q) exponents (same table for T2)
+      Lg: (n_t, n_t, 2*u_len) — change-of-basis tensor on the grid,
+          Lg[i1, i2] = L[mono(p,q,r,s)] (zero where total degree > twojmax)
+
+    Why: the product-DAG chain (`mono_plan`) emits one tiny fused op per
+    monomial — ~500 kernel launches per training step on TPU, measured
+    launch-bound at <10% of HBM peak.  On the grid the whole basis is two
+    45-entry power-product tensors and batched GEMMs.
+    """
+    exps, parent, var, L = mono_plan(twojmax)
+    pairs = [(p, q) for p in range(twojmax + 1)
+             for q in range(twojmax + 1 - p)]
+    pair_index = {pq: i for i, pq in enumerate(pairs)}
+    n_t = len(pairs)
+    index = {tuple(e): i for i, e in enumerate(np.asarray(exps))}
+    Lg = np.zeros((n_t, n_t, L.shape[1]))
+    for (p, q), i1 in pair_index.items():
+        for (r, s), i2 in pair_index.items():
+            if p + q + r + s <= twojmax:
+                Lg[i1, i2] = L[index[(p, q, r, s)]]
+    pidx = np.array([p for p, q in pairs], np.int32)
+    qidx = np.array([q for p, q in pairs], np.int32)
+    return pidx, qidx, Lg
+
+
+@lru_cache(maxsize=None)
 def mono_blocks(twojmax: int):
     """Degree-block structure of the monomial->U map.
 

@@ -304,54 +304,93 @@ def _ck_prologue(disp, jelem, mask, ielem, p: SnapParams):
     return ar, ai, br, bi, w
 
 
+def _powers(x, n):
+    """(..., n+1) powers x^0..x^n via cumprod (safe for negative x)."""
+    ones = jnp.ones_like(x)[..., None]
+    rep = jnp.repeat(x[..., None], n, axis=-1)
+    return jnp.cumprod(jnp.concatenate([ones, rep], axis=-1), axis=-1)
+
+
+def _powers_tan(P, xt):
+    """Tangent of `_powers`: d(x^k) = k x^(k-1) dx, from the power table.
+
+    P: (..., n+1); xt: tangent stack (T, ...).  Returns (T, ..., n+1).
+    """
+    shifted = jnp.concatenate([jnp.zeros_like(P[..., :1]), P[..., :-1]], -1)
+    k = jnp.arange(P.shape[-1], dtype=P.dtype)
+    return k * shifted[None] * xt[..., None]
+
+
+def _exp_onehot(idx, n, dtype):
+    """(n+1, n_t) selection matrix: column i picks power idx[i].
+
+    Gathers along a 9-wide minor dim run at <10% of HBM peak on TPU; the
+    same expansion as a tiny GEMM rides the MXU at full tile width.
+    """
+    return (jnp.arange(n + 1)[:, None] == idx[None, :]).astype(dtype)
+
+
+def _grid_tensors(ar, ai, br, bi, twojmax, pidx, qidx):
+    """Pair-grid factors T1[(p,q)] = ar^p ai^q, T2[(r,s)] = br^r bi^s.
+
+    Returns (raw, proj, T1, T2): raw = the (..., tj+1) power tables (for
+    tangent construction), proj = their (..., n_t) one-hot projections.
+    """
+    dtype = ar.dtype
+    Ep = _exp_onehot(pidx, twojmax, dtype)
+    Eq = _exp_onehot(qidx, twojmax, dtype)
+    Pa = _powers(ar, twojmax)
+    Pai = _powers(ai, twojmax)
+    Pb = _powers(br, twojmax)
+    Pbi = _powers(bi, twojmax)
+    PaE, PaiE = Pa @ Ep, Pai @ Eq
+    PbE, PbiE = Pb @ Ep, Pbi @ Eq
+    return ((Pa, Pai, Pb, Pbi), (PaE, PaiE, PbE, PbiE),
+            PaE * PaiE, PbE * PbiE)
+
+
 def compute_utot_mono(disp, jelem, mask, ielem, p: SnapParams):
     """`compute_utot` via the monomial change of basis, neighbor-first.
 
-    ut[a] = (sum_k w[a,k] * M(ck[a,k])) @ L : the per-PAIR work is only the
-    O(n_mono) elementwise product chain; the change-of-basis GEMM runs per
-    ATOM (K-fold fewer flops than mapping each pair through L).  Forward
-    AND reverse-mode are MXU/VPU-shaped — unlike the triangular per-j
-    recursion, whose (A, K, j+1, j+1) intermediates have tiny trailing
-    dims that defeat TPU tiling (measured ~5x slower fwd+bwd).  This is
-    the training-step descriptor path of the NN solver; the recursion
-    (`compute_utot`) remains the independent cross-check oracle.
+    Monomials factor on the pair grid ar^p ai^q x br^r bi^s:
+        ut[a] = (sum_k w[a,k] * T1[a,k] (x) T2[a,k]) . Lg
+    so the per-PAIR work is two n_t-entry power-product tensors and one
+    (n_t, K) x (K, n_t) GEMM per atom; the change-of-basis GEMM runs per
+    ATOM on the accumulated grid (K-fold fewer flops than mapping each
+    pair through L, and no per-monomial op chain — the product-DAG form
+    emitted ~500 tiny kernels and ran launch-bound at <10% of HBM peak).
+    Forward AND reverse-mode are MXU-shaped — unlike the triangular per-j
+    recursion, whose (A, K, j+1, j+1) intermediates defeat TPU tiling.
+    This is the training-step descriptor path of the NN solver; the
+    recursion (`compute_utot`) remains the independent cross-check oracle.
     """
-    from fitsnap_tpu.ops.mono import mono_blocks, mono_plan
+    from fitsnap_tpu.ops.mono import grid_plan
 
     dtype = disp.dtype
     plan = p.plan
+    A = disp.shape[0]
     ar, ai, br, bi, w = _ck_prologue(disp, jelem, mask, ielem, p)
 
-    exps, parent, varidx, L = mono_plan(plan.twojmax)
-    Lj = jnp.asarray(L, dtype)
-    vprim = (ar, ai, br, bi)
-    Mp = [jnp.ones_like(ar)]
-    for i in range(1, len(parent)):
-        Mp.append(Mp[int(parent[i])] * vprim[int(varidx[i])])
-    M = jnp.stack(Mp, -1)                             # (A, K, n_mono)
+    pidx_h, qidx_h, Lg = grid_plan(plan.twojmax)
+    pidx = jnp.asarray(pidx_h)
+    qidx = jnp.asarray(qidx_h)
+    n_t = len(pidx_h)
+    Lg2 = jnp.asarray(Lg.reshape(n_t * n_t, -1), dtype)
+    _, _, T1, T2 = _grid_tensors(ar, ai, br, bi, plan.twojmax, pidx, qidx)
 
     nchem = plan.nelements if plan.chemflag else 1
     if nchem == 1:
-        wm = jnp.einsum("ak,akm->am", w, M)           # (A, n_mono)
+        wg = jnp.einsum("ak,akd,ake->ade", w, T1, T2)     # (A, n_t, n_t)
+        ut = wg.reshape(A, n_t * n_t) @ Lg2               # (A, 2U)
     else:
         chan = jax.nn.one_hot(jelem, nchem, dtype=dtype) * w[..., None]
-        wm = jnp.einsum("akc,akm->acm", chan, M)      # (A, nchem, n_mono)
-
-    # L is degree-block-diagonal (mono_blocks): contract per block — ~5x
-    # fewer GEMM flops and no f32-parity concern here (the NN loss is not
-    # gated by normal-equation coefficient parity the way the linear path
-    # is; descriptor values agree with the recursion to roundoff)
-    blocks, u_len = mono_blocks(plan.twojmax)
-    reals, imags = [], []
-    for (r0, r1, c0, c1) in blocks:
-        sub = wm[..., r0:r1]
-        reals.append(sub @ Lj[r0:r1, c0:c1])
-        imags.append(sub @ Lj[r0:r1, u_len + c0:u_len + c1])
-    utr = jnp.concatenate(reals, -1)
-    uti = jnp.concatenate(imags, -1)
+        wg = jnp.einsum("akc,akd,ake->acde", chan, T1, T2)
+        ut = wg.reshape(A, nchem, n_t * n_t) @ Lg2        # (A, nchem, 2U)
+    U = plan.u_len
+    utr, uti = ut[..., :U], ut[..., U:]
     if nchem > 1:
-        utr = utr.reshape(utr.shape[0], -1)           # (A, nchem*U)
-        uti = uti.reshape(uti.shape[0], -1)
+        utr = utr.reshape(A, -1)                          # (A, nchem*U)
+        uti = uti.reshape(A, -1)
 
     # self contribution (constant, real diagonal) — identical to
     # `compute_utot`
@@ -375,60 +414,105 @@ def atom_descriptors_fast(disp, jelem, mask, ielem, p: SnapParams):
     return _quad_extend(B, p.plan)
 
 
-def _blocked_L(plan, dtype):
-    from fitsnap_tpu.ops.mono import mono_blocks, mono_plan
-    exps, parent, varidx, L = mono_plan(plan.twojmax)
-    blocks, u_len = mono_blocks(plan.twojmax)
-    return parent, varidx, jnp.asarray(L, dtype), blocks, u_len
+# ---------------------------------------------------------------------------
+# Analytic-force NN training kit (cached-neighbor mode).
+#
+# The training loss autodiffs only through the MLP; everything descriptor-
+# side is CONSTANT w.r.t. network parameters and is either cached per
+# bucket (per-atom ut and B — positions never move during NN training) or
+# recomputed per step as a handful of MXU-shaped ops (per-pair grid
+# tensors).  Reverse-over-reverse autodiff through the descriptor kernel
+# was measured unusable (minutes of XLA compile per bucket, ~10x flops);
+# the dgrad formulation the reference stores (~20 GB at 10k configs,
+# docs/source/Pytorch.rst:258-259) never materializes in either direction.
+# ---------------------------------------------------------------------------
 
 
-def _blocked_mm(wm, Lj, blocks, u_len):
-    """wm (..., n_mono) @ L -> (..., 2U), per degree block (L is ~98% zero
-    outside the blocks; contracting per block cuts the flops ~5x)."""
-    reals, imags = [], []
-    for (r0, r1, c0, c1) in blocks:
-        sub = wm[..., r0:r1]
-        reals.append(sub @ Lj[r0:r1, c0:c1])
-        imags.append(sub @ Lj[r0:r1, u_len + c0:u_len + c1])
-    return jnp.concatenate(reals + imags, axis=-1)
+def nn_ut_b(disp, jelem, mask, ielem, p: SnapParams):
+    """Per-atom (ut (A, 2U), B (A, W)) — the cacheable atom-side state of
+    the analytic NN path (single channel, base descriptors)."""
+    plan = p.plan
+    utr, uti = compute_utot_mono(disp, jelem, mask, ielem, p)
+    B = bispectrum_from_utot(utr, uti, plan)
+    return jnp.concatenate([utr, uti], -1), B
 
 
-def _blocked_mm_T(du, Lj, blocks, u_len):
-    """du (..., 2U) @ L^T -> (..., n_mono), per degree block."""
-    parts = []
-    for (r0, r1, c0, c1) in blocks:
-        parts.append(du[..., c0:c1] @ Lj[r0:r1, c0:c1].T
-                     + du[..., u_len + c0:u_len + c1]
-                     @ Lj[r0:r1, u_len + c0:u_len + c1].T)
-    return jnp.concatenate(parts, axis=-1)
+def _y_block_plan(plan: SnapPlan):
+    """Host-side block structure of the y-list jacobian contraction.
+
+    Each (layer, triple) of the dbidrj identity touches exactly ONE
+    (j+1)^2-sized u-block of the 2U axis; the dense (3, T, U) y_fac is
+    ~89% structural zeros at twojmax 8.  Returns [(c0, c1, tidx, src_b,
+    fac_b)] with src/fac restricted to the nonzero blocks — the per-step
+    gather traffic drops ~9x versus gathering the dense (A, T, U) tensors.
+    """
+    srcs = np.asarray(plan.y_src)
+    facs = np.asarray(plan.y_fac)
+    offs = list(plan.u_offsets) + [plan.u_len]
+    out = []
+    for lay in range(3):
+        by_j = {}
+        for t in range(facs.shape[1]):
+            nz = np.nonzero(facs[lay, t])[0]
+            if len(nz) == 0:
+                continue
+            j = next(jj for jj in range(len(offs) - 1)
+                     if offs[jj] <= nz[0] < offs[jj + 1])
+            assert nz[-1] < offs[j + 1], "y_fac straddles u-blocks"
+            by_j.setdefault(j, []).append(t)
+        for j, ts in sorted(by_j.items()):
+            ts = np.array(ts, np.int32)
+            c0, c1 = offs[j], offs[j + 1]
+            out.append((c0, c1, ts, srcs[lay][ts][:, c0:c1],
+                        facs[lay][ts][:, c0:c1]))
+    return out
 
 
-def snap_nn_parts(disp, jelem, mask, ielem, p: SnapParams):
-    """Descriptor-side quantities of one NN training step (analytic-force
-    path, single chem channel, base descriptors).
+def nn_dEdu(dEdB, ut, p: SnapParams):
+    """(A, 2U) jacobian-contracted cotangent dE/dutot from dE/dB.
 
-    Returns (B, dBdu, M, Mt, wp, wt):
-      B    (A, W)           descriptors (bzero-subtracted)
-      dBdu (A, W, 2U)       analytic jacobian wrt utot (the dbidrj identity)
-      M    (A, K, n_mono)   per-pair monomial values
-      Mt   (3, A, K, n_mono) their displacement tangents (fused dual chains)
-      wp   (A, K)           switching weights;  wt (3, A, K) their tangents
-
-    All outputs are CONSTANT w.r.t. network parameters, so the training
-    loss autodiffs only through the MLP: the per-pair force gradient is the
-    closed-form contraction `nn_pair_grad`, and grad-of-loss w.r.t. params
-    transposes a few einsums instead of re-deriving the descriptor chain
-    (reverse-over-reverse through the kernel was measured unusable: minutes
-    of XLA compile per bucket and ~10x the flops).
-
-    This replaces what the reference does with stored dgrad rows
-    (`lib/neural_networks/pytorch.py:147-219`) without ever materializing
-    them: per-pair work is the O(n_mono) monomial chain; every GEMM runs
-    per atom.
+    Recomputes the z-lists from the cached per-atom ut (per-ATOM GEMMs;
+    z itself is too large to cache at dataset scale) and contracts them
+    with dEdB through the block-restricted y-list plan.  `A` here is the
+    FLATTENED atom axis across the minibatch — full MXU tiles instead of
+    per-config-sized GEMM rows.
     """
     plan = p.plan
-    assert not plan.chemflag and not plan.quadraticflag, \
-        "analytic NN path covers the base single-channel case"
+    z_r, z_i = _compute_zcat(ut, plan)
+    A = dEdB.shape[0]
+    U = plan.u_len
+    der = jnp.zeros((A, U), dEdB.dtype)
+    dei = jnp.zeros((A, U), dEdB.dtype)
+    for (c0, c1, ts, src_b, fac_b) in _y_block_plan(plan):
+        wb = dEdB[:, jnp.asarray(ts), None] \
+            * jnp.asarray(fac_b, dEdB.dtype)[None]
+        sb = jnp.asarray(src_b)
+        der = der.at[:, c0:c1].add(
+            jnp.einsum("atu,atu->au", wb, z_r[:, sb]))
+        dei = dei.at[:, c0:c1].add(
+            jnp.einsum("atu,atu->au", wb, z_i[:, sb]))
+    return jnp.concatenate([der, dei], -1)
+
+
+def nn_vg(dEdu, p: SnapParams):
+    """dE/dutot -> pair-grid cotangent vg (A, n_t, n_t) (per-atom GEMM)."""
+    from fitsnap_tpu.ops.mono import grid_plan
+
+    pidx_h, _, Lg = grid_plan(p.plan.twojmax)
+    n_t = len(pidx_h)
+    Lg2 = jnp.asarray(Lg.reshape(n_t * n_t, -1), dEdu.dtype)
+    return (dEdu @ Lg2.T).reshape(dEdu.shape[0], n_t, n_t)
+
+
+def nn_grid_pair(disp, jelem, mask, ielem, p: SnapParams):
+    """Per-pair grid tensors of one config (recomputed each step; too
+    large to cache at dataset scale, cheap to rebuild: power tables +
+    gathers, no per-monomial op chain).
+
+    Returns (T1, T2, T1t, T2t, wp, wt)."""
+    from fitsnap_tpu.ops.mono import grid_plan
+
+    plan = p.plan
     dtype = disp.dtype
 
     def scal(d):
@@ -440,55 +524,56 @@ def snap_nn_parts(disp, jelem, mask, ielem, p: SnapParams):
     tans = jax.vmap(lambda t: jax.jvp(scal, (disp,), (t,))[1])(tg)
     wp, wt = prim[4], tans[4]
 
-    parent, varidx, Lj, blocks, u_len = _blocked_L(plan, dtype)
-    vprim = prim[:4]
-    vtan = tans[:4]
-    Mp = [jnp.ones_like(vprim[0])]
-    Mt = [jnp.zeros_like(vtan[0])]
-    for i in range(1, len(parent)):
-        pa, vi = int(parent[i]), int(varidx[i])
-        Mp.append(Mp[pa] * vprim[vi])
-        Mt.append(Mt[pa] * vprim[vi][None] + Mp[pa][None] * vtan[vi])
-    M = jnp.stack(Mp, -1)                        # (A, K, n_mono)
-    Mt = jnp.stack(Mt, -1)                       # (3, A, K, n_mono)
+    pidx_h, qidx_h, _ = grid_plan(plan.twojmax)
+    pidx = jnp.asarray(pidx_h)
+    qidx = jnp.asarray(qidx_h)
+    raw, proj, T1, T2 = _grid_tensors(*prim[:4], plan.twojmax, pidx, qidx)
+    Pa, Pai, Pb, Pbi = raw
+    PaE, PaiE, PbE, PbiE = proj
+    Ep = _exp_onehot(pidx, plan.twojmax, dtype)
+    Eq = _exp_onehot(qidx, plan.twojmax, dtype)
+    PatE = _powers_tan(Pa, tans[0]) @ Ep         # (3, A, K, n_t)
+    PaitE = _powers_tan(Pai, tans[1]) @ Eq
+    PbtE = _powers_tan(Pb, tans[2]) @ Ep
+    PbitE = _powers_tan(Pbi, tans[3]) @ Eq
+    T1t = PatE * PaiE[None] + PaE[None] * PaitE
+    T2t = PbtE * PbiE[None] + PbE[None] * PbitE
+    return T1, T2, T1t, T2t, wp, wt
 
-    # neighbor-first contraction: the change-of-basis GEMM runs per ATOM
-    wm = jnp.einsum("ak,akm->am", wp, M)
-    ut = _blocked_mm(wm, Lj, blocks, u_len)      # (A, 2U)
-    self_idx = jnp.asarray(plan.self_idx)
-    selfvec = jnp.zeros((plan.u_len,), dtype).at[self_idx].set(p.wself)
-    ut = ut + jnp.concatenate([selfvec, jnp.zeros_like(selfvec)])[None, :]
 
-    zcat = _compute_zcat(ut, plan)
-    dBdu = _dbdu_ylist(ut, plan, zcat)           # (A, W, 2U)
-    z_r, z_i = zcat
-    src0 = jnp.asarray(plan.y_src[0])
-    fac0 = jnp.asarray(plan.y_fac[0], dtype)
-    U = plan.u_len
-    B = (jnp.einsum("au,atu->at", ut[:, :U], fac0 * z_r[:, src0])
-         + jnp.einsum("au,atu->at", ut[:, U:], fac0 * z_i[:, src0]))
-    if plan.bzeroflag:
-        B = B - jnp.asarray(plan.bzero, dtype)[None, :]
-    return B, dBdu, M, Mt, wp, wt
+def nn_pair_force(vg, grid):
+    """dE/ddisp (A, K, 3) of one config from the pair-grid cotangent.
+
+    sum_m M v and sum_m Mt v evaluated on the grid: per pair only n_t-sized
+    contractions — the (A*K, n_mono) x (n_mono, 2U) GEMM of the dgrad
+    formulation never happens in either direction.
+    """
+    T1, T2, T1t, T2t, wp, wt = grid
+    tmp = jnp.einsum("akd,ade->ake", T1, vg)
+    sp = jnp.einsum("ake,ake->ak", tmp, T2)             # sum_m M v
+    st = (jnp.einsum("cake,ake->cak",
+                     jnp.einsum("cakd,ade->cake", T1t, vg), T2)
+          + jnp.einsum("ake,cake->cak", tmp, T2t))      # sum_m Mt v
+    g = wp[None] * st + wt * sp[None]                   # (3, A, K)
+    return g.transpose(1, 2, 0)
+
+
+def snap_nn_parts(disp, jelem, mask, ielem, p: SnapParams):
+    """(B, ut, grid) of one config — convenience composition for tests;
+    the solver uses the pieces separately (ut/B cached, grid per step)."""
+    plan = p.plan
+    assert not plan.chemflag and not plan.quadraticflag, \
+        "analytic NN path covers the base single-channel case"
+    ut, B = nn_ut_b(disp, jelem, mask, ielem, p)
+    grid = nn_grid_pair(disp, jelem, mask, ielem, p)
+    return B, ut, grid
 
 
 def nn_pair_grad(dEdB, parts, p: SnapParams):
-    """dE/ddisp (A, K, 3) from dE/dB and `snap_nn_parts` outputs.
-
-    dE/ddisp = dEdB . dBdu . J with J = wp*(Mt @ L) + wt*(M @ L) contracted
-    in the cheap order: v = (dEdB . dBdu) @ L^T is per-ATOM, then per pair
-    only two O(n_mono) dots remain — the (A*K, n_mono) x (n_mono, 2U) GEMM
-    of the dgrad formulation never happens in either direction.
-    """
-    plan = p.plan
-    _, dBdu, M, Mt, wp, wt = parts
-    parent, varidx, Lj, blocks, u_len = _blocked_L(plan, dEdB.dtype)
-    dEdu = jnp.einsum("aw,awu->au", dEdB, dBdu)      # (A, 2U)
-    v = _blocked_mm_T(dEdu, Lj, blocks, u_len)       # (A, n_mono)
-    sp = jnp.einsum("akm,am->ak", M, v)
-    st = jnp.einsum("cakm,am->cak", Mt, v)
-    g = wp[None] * st + wt * sp[None]                # (3, A, K)
-    return g.transpose(1, 2, 0)
+    """dE/ddisp (A, K, 3) from dE/dB and `snap_nn_parts` (test oracle)."""
+    _, ut, grid = parts
+    dEdu = nn_dEdu(dEdB, ut, p)
+    return nn_pair_force(nn_vg(dEdu, p), grid)
 
 
 def bispectrum_from_utot(utr, uti, plan: SnapPlan):

@@ -150,10 +150,13 @@ class NetworkSolver(Solver):
                     # pure otf is recompute of a static quantity (positions
                     # never move during NN training)
                     itemsz = np.dtype(dtype).itemsize
+                    # pairs: disp + jidx + mask; atoms: cached ut + B
+                    # (~2U + W floats; 2.6 KB/atom at twojmax 8 f32)
                     neigh_bytes = sum(
                         len(g["configs"]) * g["a_pad"]
-                        * min(g["k_pad"], g["a_pad"] * len(g["s_table"]))
-                        * (3 * itemsz + 5) for g in pos_groups)
+                        * (min(g["k_pad"], g["a_pad"] * len(g["s_table"]))
+                           * (3 * itemsz + 5) + 2600)
+                        for g in pos_groups)
                     neigh_limit = int(os.environ.get(
                         "FITSNAP_TPU_NN_NEIGH_LIMIT", str(4 << 30)))
                     mode = ("cached" if analytic is not None
@@ -320,20 +323,26 @@ class NetworkSolver(Solver):
         sumsq_b = None
         count = 0
 
+        kit = self._nn_analytic if cache else None
+
         def make_stats(n, n_pad, k_pad):
             """Per-bucket stats program (factory: binds loop vars early)."""
             def one_cfg(ph_c, pl_c, sh_c, sl_c, t, na):
                 d, j, m = device_neighbors(ph_c, pl_c, sh_c, sl_c, na,
                                            cutoff, k_pad)
-                B = desc(d, j, m, t, na)
+                if cache:
+                    ut, B = kit["utb"](d, j, m, t, na)
+                else:
+                    B = desc(d, j, m, t, na)
+                    ut = None
                 re_, rf_, _ = reference_eav(d, j, m, t, na, refspec)
-                return B, re_, rf_, d, j, m
+                return B, re_, rf_, d, j, m, ut
 
             def stats_bucket(ph, pl, sh, sl, tt, nad, e_td, f_td, plan,
                              val):
                 def body(_, ch):
                     idx, v = ch
-                    B, re_, rf_, d, j, m = jax.vmap(one_cfg)(
+                    B, re_, rf_, d, j, m, ut = jax.vmap(one_cfg)(
                         ph[idx], pl[idx], sh[idx], sl[idx], tt[idx],
                         nad[idx])
                     na = nad[idx]
@@ -342,7 +351,7 @@ class NetworkSolver(Solver):
                     Bm = B * w[..., None]
                     e_tgt = (e_td[idx] - re_) / jnp.maximum(na, 1)
                     f_tgt = f_td[idx] - rf_
-                    neigh = (d, j, m) if cache else ()
+                    neigh = (d, j, m, ut, B) if cache else ()
                     return None, (e_tgt.astype(B.dtype),
                                   f_tgt.astype(B.dtype),
                                   Bm.sum((0, 1)), (Bm * B * w[..., None])
@@ -355,10 +364,12 @@ class NetworkSolver(Solver):
                        f_tgt.reshape(n_pad, A, 3)[:n],
                        sb.sum(0), ssq.sum(0), cnt.sum())
                 if cache:
-                    d, j, m = out[5:]
+                    d, j, m, ut, B = out[5:]
                     res = res + (d.reshape(n_pad, A, k_pad, 3)[:n],
                                  j.reshape(n_pad, A, k_pad)[:n],
-                                 m.reshape(n_pad, A, k_pad)[:n])
+                                 m.reshape(n_pad, A, k_pad)[:n],
+                                 ut.reshape((n_pad, A) + ut.shape[3:])[:n],
+                                 B.reshape((n_pad, A) + B.shape[3:])[:n])
                 return res
 
             return jax.jit(stats_bucket)
@@ -430,9 +441,11 @@ class NetworkSolver(Solver):
 
             if cache:
                 # positions are no longer needed: the cached (disp, jidx,
-                # mask) tensors ARE the training inputs
-                d_dev, j_dev, m_dev = out[5:]
-                bucket = {"disp": d_dev, "jidx": j_dev, "mask": m_dev}
+                # mask) tensors plus the per-atom (ut, B) ARE the training
+                # inputs (all static — positions never move during training)
+                d_dev, j_dev, m_dev, ut_dev, b_dev = out[5:]
+                bucket = {"disp": d_dev, "jidx": j_dev, "mask": m_dev,
+                          "ut": ut_dev, "B": b_dev}
             else:
                 bucket = {
                     "pos_hi": ph, "pos_lo": pl,
@@ -748,38 +761,38 @@ class NetworkSolver(Solver):
         return e / nat, f
 
     def _forward_batch_cached(self, params, batch):
-        """Cached-neighbor mode: descriptors recomputed from the resident
-        (disp, jidx, mask) tensors, forces via the ANALYTIC per-pair
-        contraction (`ops/snap.py:nn_pair_grad`) — autodiff touches only
+        """Cached-neighbor mode: per-atom descriptors B and utot are CACHED
+        (static during training), so the energy side is just the MLP; the
+        force side recomputes only the per-pair grid tensors from the
+        cached displacements and contracts dE/dB analytically
+        (`ops/snap.py` nn_dEdu/nn_vg/nn_pair_force) — autodiff touches only
         the MLP, so the loss's parameter gradient transposes a few einsums
         instead of re-deriving the descriptor kernel (reverse-over-reverse
         through it was measured unusable: minutes of XLA compile per bucket
-        shape and ~10x the flops)."""
-        parts_fn, grad_fn = self._nn_analytic
-        mean, std = self.mean, self.std
-        disp = batch["disp"]
-        dtp = disp.dtype
-        nat = jnp.maximum(batch["nat"], 1).astype(dtp)
+        shape and ~10x the flops).  Atom-side stages run on the FLATTENED
+        (configs x atoms) axis so every GEMM sees full MXU tiles."""
+        kit = self._nn_analytic
+        B = batch["B"]
+        N, A, W = B.shape
+        dtp = B.dtype
         real = batch["real"].astype(dtp)
-
-        def one(d, j, m, t, na, elem_c, real_c):
-            parts = parts_fn(d, j, m, t, na)
-            x = (parts[0] - mean) / std
-
-            def etot(xx):
-                return jnp.sum(atom_energies(params, xx, elem_c) * real_c)
-
-            e, dEdx = jax.value_and_grad(etot)(x)
-            g = grad_fn(dEdx / std, parts)
-            return e, g
-
-        e, g = jax.vmap(one)(disp, batch["jidx"], batch["mask"],
-                             batch["types"], batch["nat"], batch["elem"],
-                             real)
+        nat = jnp.maximum(batch["nat"], 1).astype(dtp)
+        x = ((B - self.mean) / self.std).reshape(N * A, W)
+        elem_flat = batch["elem"].reshape(-1)
+        real_flat = real.reshape(-1)
+        eat, vjp_fn = jax.vjp(
+            lambda xx: atom_energies(params, xx, elem_flat), x)
+        e = (eat * real_flat).reshape(N, A).sum(1)
+        dEdB = vjp_fn(real_flat)[0] / self.std
+        vg = kit["dEdu_vg"](dEdB, batch["ut"].reshape(N * A, -1))
+        n_t = vg.shape[-1]
+        vg = vg.reshape(N, A, n_t, n_t)
+        grid = jax.vmap(kit["pair"])(batch["disp"], batch["jidx"],
+                                     batch["mask"], batch["types"])
+        g = jax.vmap(kit["force"])(vg, grid)
         # scatter dE/ddisp into forces: disp[a,k] = x_j - x_i (+shift), so
         # atom m collects +g from every pair it neighbors and -sum(g) over
         # its own row (same identity as the precomputed-G path)
-        A = disp.shape[1]
         oj = jax.nn.one_hot(batch["jidx"], A, dtype=dtp)
         scat = jnp.einsum("nakm,nakc->nmc", oj, g)
         forces = -(scat - g.sum(axis=2))
@@ -790,8 +803,9 @@ class NetworkSolver(Solver):
     _BATCH_KEYS_OTF = ("pos_hi", "pos_lo", "svec_hi", "svec_lo", "kshape",
                        "types", "elem", "real", "nat", "e_target",
                        "f_target", "ew", "fw")
-    _BATCH_KEYS_CACHED = ("disp", "jidx", "mask", "types", "elem", "real",
-                          "nat", "e_target", "f_target", "ew", "fw")
+    _BATCH_KEYS_CACHED = ("disp", "jidx", "mask", "ut", "B", "types",
+                          "elem", "real", "nat", "e_target", "f_target",
+                          "ew", "fw")
     _BATCH_KEYS_PW = ("disp", "mask", "types", "real", "nat", "jidx",
                       "e_target", "f_target", "ew", "fw")
     _BATCH_KEYS_PAS = ("B", "types", "real", "nat", "pas_target", "ew")
