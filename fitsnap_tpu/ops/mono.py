@@ -208,6 +208,20 @@ def grid_plan(twojmax: int):
 
 
 @lru_cache(maxsize=None)
+def mono_pairs(twojmax: int):
+    """(i1g, i2g): grid-pair index of every monomial, aligned with the
+    `mono_plan` row order — monomial m = T1[i1g[m]] * T2[i2g[m]] with
+    T1/T2 the `grid_plan` power-product tables."""
+    exps, parent, var = monomial_dag(twojmax)
+    pairs = [(p, q) for p in range(twojmax + 1)
+             for q in range(twojmax + 1 - p)]
+    pair_index = {pq: i for i, pq in enumerate(pairs)}
+    i1g = np.array([pair_index[(p, q)] for p, q, r, s in exps], np.int32)
+    i2g = np.array([pair_index[(r, s)] for p, q, r, s in exps], np.int32)
+    return i1g, i2g
+
+
+@lru_cache(maxsize=None)
 def mono_blocks(twojmax: int):
     """Degree-block structure of the monomial->U map.
 

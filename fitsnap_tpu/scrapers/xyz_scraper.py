@@ -38,6 +38,48 @@ def parse_properties(spec):
     return [(f[i], f[i + 1], int(f[i + 2])) for i in range(0, len(f), 3)]
 
 
+def read_xyz_frames(fname, limit=None):
+    """Standalone extended-XYZ frame reader (no config needed).
+
+    Yields dicts with Lattice (rows = lattice vectors, ASE convention),
+    Positions, AtomTypes, Energy, Forces — the fields `ase_scraper`'s
+    Atoms duck-type needs.  Library-mode convenience mirroring
+    `ase.io.read(path, ":")` for environments without `ase`
+    (reference `examples/library/ase/example1.py` workflow).
+    """
+    count = 0
+    with open(fname) as fp:
+        while limit is None or count < limit:
+            line = fp.readline()
+            if not line.strip():
+                return
+            natoms = int(line)
+            info = parse_header(fp.readline())
+            spec = parse_properties(
+                info.pop("Properties", "species:S:1:pos:R:3"))
+            rows = [fp.readline().split() for _ in range(natoms)]
+            arrays = {}
+            col = 0
+            for name, ptype, ncols in spec:
+                vals = [r[col:col + ncols] for r in rows]
+                arr = np.array(vals, float if ptype == "R"
+                               else int if ptype == "I" else str)
+                arrays[name] = arr[:, 0] if ncols == 1 else arr
+                col += ncols
+            forces = arrays.get("forces", arrays.get("force"))
+            yield {
+                "Lattice": np.array(info["Lattice"].split(),
+                                    float).reshape(3, 3),
+                "Positions": arrays["pos"],
+                "AtomTypes": [s.capitalize() for s in arrays["species"]],
+                "Energy": float(info["energy"]) if "energy" in info
+                else None,
+                "Forces": np.asarray(forces, float)
+                if forces is not None else None,
+            }
+            count += 1
+
+
 class XyzScraper(Scraper):
     def scrape_groups(self):
         self.files = {}

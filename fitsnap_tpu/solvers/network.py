@@ -378,6 +378,9 @@ class NetworkSolver(Solver):
         # program; phase 2: compile all stats programs concurrently
         # (server-side compiles parallelize through the relay); phase 3:
         # execute.  The serial version paid one compile wall per bucket.
+        import os as _os
+        dbg = _os.environ.get("FITSNAP_TPU_DEBUG_PREP") == "1"
+        t_pack0 = time.time()
         staged = []
         for g in pos_groups:
             cfgs, a_pad, s_table = g["configs"], g["a_pad"], g["s_table"]
@@ -417,11 +420,18 @@ class NetworkSolver(Solver):
                 test=test, groups=groups, files=files, ew=ew, fw=fw,
                 ph=ph, pl=pl, sh=sh, sl=sl, tt=tt)))
 
+        if dbg:
+            print(f"[prep] pack+upload {time.time() - t_pack0:.1f}s",
+                  flush=True)
         from fitsnap_tpu.parallel.fit import compile_concurrently
+        t_c0 = time.time()
         try:
             compile_concurrently([(fn, args) for fn, args, _ in staged])
         except Exception:   # pragma: no cover - lazy path still works
             pass
+        if dbg:
+            print(f"[prep] concurrent compile {time.time() - t_c0:.1f}s",
+                  flush=True)
 
         for fn, args, m in staged:
             a_pad, k_pad, n = m["a_pad"], m["k_pad"], m["n"]
@@ -429,8 +439,13 @@ class NetworkSolver(Solver):
             test, groups, files = m["test"], m["groups"], m["files"]
             ew, fw = m["ew"], m["fw"]
             ph, pl, sh, sl, tt = m["ph"], m["pl"], m["sh"], m["sl"], m["tt"]
+            t_e0 = time.time()
             out = fn(*args)
             e_target, f_target, sb, ssq, cnt = out[:5]
+            if dbg:
+                jax.block_until_ready(out)
+                print(f"[prep] exec ({a_pad},{k_pad}) x{n}: "
+                      f"{time.time() - t_e0:.1f}s", flush=True)
 
             real = (np.arange(a_pad)[None, :] < nat[:, None])
             sb = np.asarray(sb, np.float64)

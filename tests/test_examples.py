@@ -35,6 +35,20 @@ def test_basic(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "Ta_metrics.md").exists()
 
 
+def test_ase_scrape(tmp_path, monkeypatch, capsys):
+    out = _run("ase_scrape.py", ["--frames", "2"],
+               tmp_path, monkeypatch, capsys)
+    assert "Found 2 configurations" in out
+    assert "fit coefficients" in out
+
+
+def test_custom_scrape(tmp_path, monkeypatch, capsys):
+    out = _run("custom_scrape.py", ["--frames", "3"],
+               tmp_path, monkeypatch, capsys)
+    assert "Injecting 3 configurations" in out
+    assert (tmp_path / "custom_pot.snapcoeff").exists()
+
+
 def test_inject_configs(tmp_path, monkeypatch, capsys):
     out = _run("inject_configs.py", [], tmp_path, monkeypatch, capsys)
     assert "Force" in out
