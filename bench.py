@@ -308,6 +308,28 @@ def main():
             log(f"NN benchmark failed: {e!r}")
             result["extra"]["nn_error"] = repr(e)
 
+    # Ta NN convergence proof (reference anchor: "~200 epochs to fully
+    # converge", docs/source/Pytorch.rst:248-256): train 400 epochs with
+    # the plateau scheduler opted in; the NN must beat the linear SNAP
+    # fit's testing MAEs on the same data.
+    if os.environ.get("FITSNAP_TPU_BENCH_NN_CONV",
+                      "1" if on_tpu else "0") != "0":
+        try:
+            from benchmarks.nn_converge import run as conv_run
+            cv = conv_run(epochs=400)
+            result["extra"].update({
+                "nn_conv_best_val_loss": round(cv["best_val_loss"], 6),
+                "nn_conv_val_loss_at_200": round(cv["val_loss_at_200"], 6),
+                "nn_conv_test_energy_mae": round(cv["test_energy_mae"], 6),
+                "nn_conv_test_force_mae": round(cv["test_force_mae"], 6),
+                "nn_conv_beats_linear": cv["converged"],
+            })
+            if not cv["converged"]:
+                result["regression"] = True
+        except Exception as e:  # noqa: BLE001 - bench must still report Ta
+            log(f"NN convergence benchmark failed: {e!r}")
+            result["extra"]["nn_conv_error"] = repr(e)
+
     # WBe-scale NN training (the reference's large-set anchor: ~20 s/epoch,
     # ~20 GB dgrad RAM at ~500k atoms, docs/source/Pytorch.rst:258-267).
     # 16 epochs = 2 full blocks: the second gives the warm rate.

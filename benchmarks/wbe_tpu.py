@@ -102,7 +102,11 @@ def run(limit=None, refine=False, mae=False, max_programs=10):
     from fitsnap_tpu.parallel.fit import compile_futures
     t0_cc = time.time()
     futures = compile_futures(
-        [(step, (acc, batch)) for step, batch, _, _ in progs])
+        [(step, (acc, batch)) for step, batch, _, _ in progs]
+        # the finish/split program compiles alongside the bucket programs
+        # instead of lazily inside the end-of-run download
+        + [(acc_finish._jitted, (acc,))])
+    futures, _finish_future = futures[:-1], futures[-1]
     t_compile = 0.0
     t_compute = 0.0
     resident = []   # (batch, step_meta) for optional refine/mae passes

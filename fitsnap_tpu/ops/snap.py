@@ -855,6 +855,91 @@ def _dbdu_ylist(ut, plan: SnapPlan, zcat=None):
     return jnp.concatenate([y_r, y_i], axis=-1)     # (A, ntrip, 2U)
 
 
+def _descriptors_with_jacobian_wg(disp, jelem, mask, ielem, p: SnapParams):
+    """`descriptors_with_jacobian` with the per-ATOM contraction ordering.
+
+    The baseline path maps every pair through the (n_mono, 2U) change of
+    basis four times (primal + 3 tangent streams, ~2.25 Mflop/pair) and
+    then contracts dBdu against the per-pair tangents.  Here the only
+    per-pair work is the grid monomial build: ut comes neighbor-first
+    ((sum_k w M) @ L, per atom), and dBdu is pre-contracted with L^T ONCE
+    per atom (Wg), so the jacobian is two per-atom batched GEMMs over the
+    n_mono basis — 2-3x fewer flops and MXU-friendlier shapes at large K.
+
+    Same math, different f32 rounding path: gate behind the Ta/WBe
+    coefficient-parity checks before making it the default
+    (FITSNAP_TPU_FAST_G=0 restores the baseline contraction).
+    """
+    from fitsnap_tpu.ops.mono import grid_plan, mono_pairs, mono_plan
+
+    plan = p.plan
+    dtype = disp.dtype
+    A = disp.shape[0]
+
+    def scal(d):
+        return _ck_prologue(d, jelem, mask, ielem, p)
+
+    eye = jnp.eye(3, dtype=dtype)
+    tg = jnp.broadcast_to(eye[:, None, None, :], (3,) + disp.shape)
+    prim = scal(disp)
+    tans = jax.vmap(lambda t: jax.jvp(scal, (disp,), (t,))[1])(tg)
+    wp, wt = prim[4], tans[4]
+
+    # grid monomials + tangents (as _pair_wu_duals, sans the @L streams)
+    exps, parent, varidx, L = mono_plan(plan.twojmax)
+    i1g, i2g = mono_pairs(plan.twojmax)
+    tj = plan.twojmax
+    npair = (tj + 1) * (tj + 2) // 2
+    G1 = (jnp.arange(npair)[:, None]
+          == jnp.asarray(i1g)[None, :]).astype(dtype)
+    G2 = (jnp.arange(npair)[:, None]
+          == jnp.asarray(i2g)[None, :]).astype(dtype)
+    pq = np.array([(pp, qq) for pp in range(tj + 1)
+                   for qq in range(tj + 1 - pp)], np.int64)
+    Ep = _exp_onehot(jnp.asarray(pq[:, 0].astype(np.int32)), tj, dtype)
+    Eq = _exp_onehot(jnp.asarray(pq[:, 1].astype(np.int32)), tj, dtype)
+    Pa, Pai = _powers(prim[0], tj), _powers(prim[1], tj)
+    Pb, Pbi = _powers(prim[2], tj), _powers(prim[3], tj)
+    T1, T2 = (Pa @ Ep) * (Pai @ Eq), (Pb @ Ep) * (Pbi @ Eq)
+    T1t = (_powers_tan(Pa, tans[0]) @ Ep) * (Pai @ Eq)[None] \
+        + (Pa @ Ep)[None] * (_powers_tan(Pai, tans[1]) @ Eq)
+    T2t = (_powers_tan(Pb, tans[2]) @ Ep) * (Pbi @ Eq)[None] \
+        + (Pb @ Ep)[None] * (_powers_tan(Pbi, tans[3]) @ Eq)
+    M1, M2 = T1 @ G1, T2 @ G2
+    M = M1 * M2                                       # (A, K, n_mono)
+    Mt = (T1t @ G1) * M2[None] + M1[None] * (T2t @ G2)
+
+    # neighbor-first ut (the change-of-basis GEMM runs per atom)
+    Lj = jnp.asarray(L, dtype)
+    wm = jnp.einsum("ak,akm->am", wp, M)
+    ut = wm @ Lj
+    self_idx = jnp.asarray(plan.self_idx)
+    selfvec = jnp.zeros((plan.u_len,), dtype).at[self_idx].set(p.wself)
+    ut = ut + jnp.concatenate([selfvec, jnp.zeros_like(selfvec)])[None, :]
+
+    zcat = _compute_zcat(ut, plan)
+    dBdu = _dbdu_ylist(ut, plan, zcat)                # (A, W, 2U)
+    z_r, z_i = zcat
+    src0 = jnp.asarray(plan.y_src[0])
+    fac0 = jnp.asarray(plan.y_fac[0], dtype)
+    U = plan.u_len
+    B = (jnp.einsum("au,atu->at", ut[:, :U], fac0 * z_r[:, src0])
+         + jnp.einsum("au,atu->at", ut[:, U:], fac0 * z_i[:, src0]))
+    if plan.bzeroflag:
+        B = B - jnp.asarray(plan.bzero, dtype)[None, :]
+
+    # Wg = dBdu . L^T per atom; the per-pair jacobian is then two batched
+    # (K, n_mono) x (n_mono, W) GEMMs — the J tensor never materializes
+    Wg = jnp.einsum("awu,mu->awm", dBdu, Lj)          # (A, W, n_mono)
+    GW = jnp.einsum("akm,awm->akw", M, Wg)            # (A, K, W)
+    GWt = jnp.einsum("cakm,awm->cakw", Mt, Wg)        # (3, A, K, W)
+    dBdD = (wp[None, :, :, None] * GWt
+            + wt[..., None] * GW[None]).transpose(1, 3, 2, 0)
+    if plan.quadraticflag:
+        B, dBdD = _quad_chain(B, dBdD, plan)
+    return B, dBdD
+
+
 def descriptors_with_jacobian(disp, jelem, mask, ielem, p: SnapParams):
     """Per-atom descriptors and their per-pair gradients.
 
@@ -866,6 +951,9 @@ def descriptors_with_jacobian(disp, jelem, mask, ielem, p: SnapParams):
     """
     plan = p.plan
     nchem = plan.nelements if plan.chemflag else 1
+
+    if nchem == 1 and os.environ.get("FITSNAP_TPU_FAST_G") == "1":
+        return _descriptors_with_jacobian_wg(disp, jelem, mask, ielem, p)
 
     wu, J = _pair_wu_duals(disp, jelem, mask, ielem, p)
     # wu: (A, K, 2U); J: (3, A, K, 2U) per-pair tangents

@@ -449,12 +449,13 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
             return (jnp.zeros((W * W,), jnp.float64),
                     jnp.zeros((W,), jnp.float64), jnp.zeros(()))
 
+        split = jax.jit(lambda a: tuple(
+            (x.astype(jnp.float32),
+             (x - x.astype(jnp.float32).astype(jnp.float64))
+             .astype(jnp.float32)) for x in a[:2]) + (a[2].astype(
+                 jnp.float32),))
+
         def finish(acc):
-            split = jax.jit(lambda a: tuple(
-                (x.astype(jnp.float32),
-                 (x - x.astype(jnp.float32).astype(jnp.float64))
-                 .astype(jnp.float32)) for x in a[:2]) + (a[2].astype(
-                     jnp.float32),))
             (a_hi, a_lo), (b_hi, b_lo), nrows = split(acc)
             # download as f32 and recombine on host: requesting f64 from a
             # device array converts on device and takes the pathologically
@@ -465,6 +466,10 @@ def build_step_fn(params, numtypes, flags, mesh, ridge=0.0, refspec=None,
                    + np.asarray(b_lo).astype(np.float64))
             return AtA, Atb, float(np.asarray(nrows))
 
+        # exposed so streaming callers can precompile the finish program
+        # concurrently with the bucket programs (its lazy jit otherwise
+        # lands on the critical path as a mystery ~10 s "download")
+        finish._jitted = split
         return jitted_acc, init_fn, finish
 
     jitted = jax.jit(step, in_shardings=((dp,) * nbatch,),

@@ -134,33 +134,36 @@ class NetworkSolver(Solver):
             analytic = getattr(calculator, "nn_analytic_fns",
                                lambda: None)()
             if mode == "auto":
+                # preference order: cached (analytic forces, neighbor
+                # tensors ~55x smaller than dgrad, concurrent prep
+                # compiles) > precompute (stored dgrad; chem/quad, or
+                # cached cache would blow HBM) > otf (positions only, for
+                # datasets whose neighbor tensors exceed HBM too).  The
+                # per-step on-device neighbor REBUILD of pure otf is
+                # recompute of a static quantity — positions never move
+                # during NN training.
+                itemsz = np.dtype(dtype).itemsize
+                # pairs: disp + jidx + mask; atoms: cached ut + B
+                # (~2U + W floats; 2.6 KB/atom at twojmax 8 f32)
+                neigh_bytes = sum(
+                    len(g["configs"]) * g["a_pad"]
+                    * (min(g["k_pad"], g["a_pad"] * len(g["s_table"]))
+                       * (3 * itemsz + 5) + 2600)
+                    for g in pos_groups)
+                neigh_limit = int(os.environ.get(
+                    "FITSNAP_TPU_NN_NEIGH_LIMIT", str(4 << 30)))
                 limit = int(os.environ.get("FITSNAP_TPU_NN_G_LIMIT",
                                            str(2 << 30)))
                 width = calculator.get_width()
                 g_bytes = sum(len(g["configs"]) * g["a_pad"] * g["k_pad"]
                               * width * 3 * np.dtype(dtype).itemsize
                               for g in pos_groups)
-                if g_bytes <= limit:
+                if analytic is not None and neigh_bytes <= neigh_limit:
+                    mode = "cached"
+                elif g_bytes <= limit:
                     mode = "precompute"
                 else:
-                    # neighbor tensors (disp + jidx + mask) are ~55x
-                    # smaller than dgrad; cache them device-side when they
-                    # fit and recompute descriptors per step with analytic
-                    # forces — the per-step on-device neighbor REBUILD of
-                    # pure otf is recompute of a static quantity (positions
-                    # never move during NN training)
-                    itemsz = np.dtype(dtype).itemsize
-                    # pairs: disp + jidx + mask; atoms: cached ut + B
-                    # (~2U + W floats; 2.6 KB/atom at twojmax 8 f32)
-                    neigh_bytes = sum(
-                        len(g["configs"]) * g["a_pad"]
-                        * (min(g["k_pad"], g["a_pad"] * len(g["s_table"]))
-                           * (3 * itemsz + 5) + 2600)
-                        for g in pos_groups)
-                    neigh_limit = int(os.environ.get(
-                        "FITSNAP_TPU_NN_NEIGH_LIMIT", str(4 << 30)))
-                    mode = ("cached" if analytic is not None
-                            and neigh_bytes <= neigh_limit else "otf")
+                    mode = "otf"
             if mode == "cached" and analytic is None:
                 from fitsnap_tpu.io.screen import warn
                 warn("dgrad_mode=cached is not available for this "

@@ -452,6 +452,9 @@ def test_nn_chunked_matches_fused(tmp_path, monkeypatch):
 
     def run(fused_limit):
         monkeypatch.setenv("FITSNAP_TPU_NN_FUSED_BUCKETS", str(fused_limit))
+        # keep the natural shape buckets: the cached-mode planner would
+        # otherwise merge this small mixed-cell fixture into one program
+        monkeypatch.setenv("FITSNAP_TPU_PROGRAM_COST", "0.0")
         fs = FitSnap(str(TA_EXAMPLE.parent / "Ta_PyTorch_NN" /
                          "Ta-example.in"), arglist=["--overwrite"])
         net = fs.config.sections["PYTORCH"]
