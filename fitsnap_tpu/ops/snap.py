@@ -706,45 +706,34 @@ def _pair_wu_duals(disp, jelem, mask, ielem, p: SnapParams):
     wp, wt = prim[4], tans[4]
 
     # Monomial form: every U component is a homogeneous polynomial in the
-    # Cayley-Klein reals, so the whole expansion is a pair-grid product
-    # plus a single dense change-of-basis GEMM (ops/mono.py).  The grid
-    # build (power tables via cumprod, one-hot projection GEMMs) replaces
-    # the original per-monomial product DAG: that chain emitted ~500 tiny
-    # kernels per step and ran launch-bound at <10% of HBM peak (measured;
-    # same fix as the NN pair stage).  The triangular recursion's
-    # padded/flipped per-j tensors never touch HBM; tangents ride the same
-    # GEMM as three extra monomial streams.
-    from fitsnap_tpu.ops.mono import mono_pairs, mono_plan
+    # Cayley-Klein reals, so the whole expansion is one fused elementwise
+    # product chain plus a single dense change-of-basis GEMM (ops/mono.py).
+    # The triangular recursion's padded/flipped per-j tensors never touch
+    # HBM; tangents ride the same GEMM as three extra monomial chains.
+    # NOTE: building M/Mt from the pair-grid power tables instead (as the
+    # NN path does) was tried r5 and REVERTED for this LINEAR path: on TPU
+    # it was speed-neutral here (the @L GEMMs dominate, not the chain) and
+    # the different multiply association rotated the f32 rounding enough
+    # to degrade Ta coefficient parity 2.9e-5 -> 7.5e-5 through the normal
+    # equations (the r03 failure mode; gate: bench.py ta_coeff_tol).
+    from fitsnap_tpu.ops.mono import mono_plan
     exps, parent, varidx, L = mono_plan(plan.twojmax)
     Lj = jnp.asarray(L, dtype)
-    i1g, i2g = mono_pairs(plan.twojmax)
+    # scalar product chain: XLA fuses the whole DAG into one register-level
+    # pass that writes the stacked monomial tensor once (a level-vectorized
+    # gather variant traced smaller but ran 2x slower — small trailing-dim
+    # gathers defeat fusion)
+    vprim = prim[:4]
+    vtan = tans[:4]
     n_mono = len(parent)
-    tj = plan.twojmax
-    npair = (tj + 1) * (tj + 2) // 2
-    # selection matrices: (45, 495) one-hot (gathers along a 45-wide minor
-    # dim are slow on TPU; as GEMMs they ride the MXU)
-    G1 = (jnp.arange(npair)[:, None]
-          == jnp.asarray(i1g)[None, :]).astype(dtype)
-    G2 = (jnp.arange(npair)[:, None]
-          == jnp.asarray(i2g)[None, :]).astype(dtype)
-    pq = np.array([(p, q) for p in range(tj + 1)
-                   for q in range(tj + 1 - p)], np.int64)
-    pidx = jnp.asarray(pq[:, 0].astype(np.int32))
-    qidx = jnp.asarray(pq[:, 1].astype(np.int32))
-    Ep = _exp_onehot(pidx, tj, dtype)
-    Eq = _exp_onehot(qidx, tj, dtype)
-    Pa = _powers(prim[0], tj)
-    Pai = _powers(prim[1], tj)
-    Pb = _powers(prim[2], tj)
-    Pbi = _powers(prim[3], tj)
-    T1, T2 = (Pa @ Ep) * (Pai @ Eq), (Pb @ Ep) * (Pbi @ Eq)
-    T1t = (_powers_tan(Pa, tans[0]) @ Ep) * (Pai @ Eq)[None] \
-        + (Pa @ Ep)[None] * (_powers_tan(Pai, tans[1]) @ Eq)
-    T2t = (_powers_tan(Pb, tans[2]) @ Ep) * (Pbi @ Eq)[None] \
-        + (Pb @ Ep)[None] * (_powers_tan(Pbi, tans[3]) @ Eq)
-    M1, M2 = T1 @ G1, T2 @ G2             # (A, K, n_mono)
-    Mp = M1 * M2
-    Mt = (T1t @ G1) * M2[None] + M1[None] * (T2t @ G2)
+    Mp = [jnp.ones_like(vprim[0])]
+    Mt = [jnp.zeros_like(vtan[0])]
+    for i in range(1, n_mono):
+        pa, vi = int(parent[i]), int(varidx[i])
+        Mp.append(Mp[pa] * vprim[vi])
+        Mt.append(Mt[pa] * vprim[vi][None] + Mp[pa][None] * vtan[vi])
+    Mp = jnp.stack(Mp, -1)                # (A, K, n_mono)
+    Mt = jnp.stack(Mt, -1)                # (3, A, K, n_mono)
 
     from fitsnap_tpu.ops.mono import mono_blocks
     blocks, u_cols = mono_blocks(plan.twojmax)
@@ -866,9 +855,12 @@ def _descriptors_with_jacobian_wg(disp, jelem, mask, ielem, p: SnapParams):
     per atom (Wg), so the jacobian is two per-atom batched GEMMs over the
     n_mono basis — 2-3x fewer flops and MXU-friendlier shapes at large K.
 
-    Same math, different f32 rounding path: gate behind the Ta/WBe
-    coefficient-parity checks before making it the default
-    (FITSNAP_TPU_FAST_G=0 restores the baseline contraction).
+    Same math, different f32 rounding path.  MEASURED r5 on v5e and kept
+    OPT-IN ONLY (FITSNAP_TPU_FAST_G=1): Ta coefficient parity degrades
+    2.9e-5 -> 1.57e-4 through the normal equations (fails bench.py's
+    4e-5 gate) and the Ta steady step was not faster (0.73 vs 0.65 s —
+    the kernel is not GEMM-flop-bound at these shapes).  Kept as the
+    starting point for precision-tolerant experiments (e.g. bf16 rows).
     """
     from fitsnap_tpu.ops.mono import grid_plan, mono_pairs, mono_plan
 

@@ -6,6 +6,8 @@
   `python -m pytest tests/ -m slow`).
 """
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -52,6 +54,33 @@ def test_xyz_group_scrape_cache_roundtrip(tmp_path, monkeypatch):
     for a, b in zip(first, second):
         assert a["Energy"] == b["Energy"]
         np.testing.assert_array_equal(a["Positions"], b["Positions"])
+
+
+@pytest.mark.heavy
+def test_ta_quadratic_subset_golden(tmp_path, monkeypatch):
+    """Full-flag (quadraticflag + twojmax=8, 1596 columns) golden in the
+    DEFAULT tier: a deterministic every-9th-config subset of
+    Ta_Quadratic_JCP2018 (all groups represented, random_sampling=0).
+
+    The committed standard `tests/data/ta_quad_subset_fit.npy` was
+    produced by this repo's CPU f64 pipeline — the same code that passes
+    the full-dataset 20May21_Standard golden at <1e-6
+    (`test_ta_quadratic_golden`, slow tier) — so this pins every
+    quadratic-path kernel at ~1/9 the full golden's cost."""
+    monkeypatch.chdir(tmp_path)
+    from fitsnap_tpu.fitsnap import FitSnap
+
+    ex = REFERENCE / "examples/Ta_Quadratic_JCP2018"
+    fs = FitSnap(str(ex / "Ta-example.in"), arglist=["--overwrite"])
+    fs.scrape_configs()
+    fs.data = fs.data[::9]
+    fs.process_configs()
+    fs.perform_fit()
+    std_path = (pathlib.Path(__file__).parent / "data"
+                / "ta_quad_subset_fit.npy")
+    std = np.load(std_path)
+    assert fs.solver.fit.shape == std.shape == (1596,)
+    assert np.abs(fs.solver.fit - std).max() < 1e-8
 
 
 @pytest.mark.slow
