@@ -344,6 +344,8 @@ def main():
                 "wbe_nn_s_per_epoch_warm": round(wnn["s_per_epoch_warm"], 3),
                 "wbe_nn_us_per_atom_epoch": round(
                     wnn["us_per_atom_epoch"], 3),
+                "wbe_nn_us_per_atom_epoch_warm": round(
+                    wnn["us_per_atom_epoch_warm"], 3),
                 # null when the runtime exposes no memory_stats (remote
                 # relay) — never print an unmeasured number as a result
                 "wbe_nn_peak_hbm_gib": (

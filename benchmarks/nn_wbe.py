@@ -125,6 +125,7 @@ def run(limit=None, epochs=16, batch_size=16):
     warm = bt[1:] if len(bt) > 1 else bt
     warm_s_epoch = (sum(s for _, s in warm)
                     / max(sum(e for e, _ in warm), 1))
+    us_atom_warm = warm_s_epoch / max(natoms, 1) * 1e6
     # peak HBM: TPU runtimes expose memory_stats, but the remote relay
     # returns an empty dict — report None/"unavailable" rather than
     # printing an unmeasured 0.00 as if it were a result
@@ -140,7 +141,8 @@ def run(limit=None, epochs=16, batch_size=16):
     # ~20 GB dgrad RAM (docs/source/Pytorch.rst:258-267)
     print(f"{epochs} epochs in {t_fit:.1f}s -> {s_epoch:.2f} s/epoch "
           f"amortized, {warm_s_epoch:.2f} s/epoch warm "
-          f"({us_atom:.1f} us/atom-epoch; reference ~40); "
+          f"({us_atom:.1f} us/atom-epoch amortized, {us_atom_warm:.1f} "
+          f"warm; reference ~40); "
           f"peak HBM {hbm_str} (reference ~20 GB dgrad RAM); "
           f"final train loss {fs.solver.history[-1][1]:.6f}; "
           f"TOTAL {total:.1f}s", flush=True)
@@ -151,6 +153,7 @@ def run(limit=None, epochs=16, batch_size=16):
         "s_per_epoch": s_epoch,
         "s_per_epoch_warm": warm_s_epoch,
         "us_per_atom_epoch": us_atom,
+        "us_per_atom_epoch_warm": us_atom_warm,
         "peak_hbm_gib": peak_gib,
         "dgrad_gib_avoided": g_bytes / 2**30,
         "final_train_loss": float(fs.solver.history[-1][1]),

@@ -1389,6 +1389,21 @@ class NetworkSolver(Solver):
         vn = sum(int(v.shape[0]) for v in vplans_t)
 
         params = self.params
+        # AOT-compile every chunk program concurrently (server-side XLA
+        # compiles parallelize through the relay; lazily each would compile
+        # serially inside epoch 0 — measured ~350 s for 4 programs on the
+        # full WBe set).  Compiled executables land in the persistent
+        # cache, so the jit calls below hit it.
+        from fitsnap_tpu.parallel.fit import compile_concurrently
+        lr0 = jnp.asarray(float(net.learning_rate), fdt)
+        items = [(train_fns[ci],
+                  (params, opt_state, lr0, tbufs[ci],
+                   tuple(jnp.asarray(train_perms[s][0]) for s in c)))
+                 for ci, c in enumerate(chunks)]
+        items += [(val_fns[ci],
+                   (params, vbufs[ci], tuple(vplans_t[s] for s in c)))
+                  for ci, c in enumerate(vchunks)]
+        compile_concurrently(items)
         sched = (float(net.learning_rate), np.inf, 0)
         best_val = np.inf
         best_params, best_opt = params, opt_state
